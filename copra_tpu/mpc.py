@@ -1,0 +1,299 @@
+"""QP assembly and the LMPC controller.
+
+TPU-native re-design of the reference orchestrator ``copra::LMPC``
+(``/root/reference/include/copra/LMPC.h:46-238``, ``src/LMPC.cpp``).  The
+functional core is::
+
+    preview = condense(system)
+    qp      = build_qp(preview, x0, costs, constraints)
+    sol     = solver(qp, options, warm_start)
+    X       = preview.trajectory(x0, sol.x)
+
+— jittable end-to-end and vmappable over batched scenarios.  The ``LMPC``
+class is a thin stateful facade over it that mirrors the reference API
+(``addCost/addConstraint/solve/control/trajectory/solveTime...``), with
+explicit lists replacing the reference's ``shared_ptr`` use-count eviction
+(``src/LMPC.cpp:304-323``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .constraints import Constraint, ConstraintKind, ControlBoundConstraint
+from .costs import CostFunction
+from .errors import InitializationError
+from .qp.registry import get_solver
+from .qp.types import DenseQP, QPSolution, SolverOptions, WarmStart
+from .systems import Preview, System, condense
+
+Array = jax.Array
+
+# PD ridge seeded into the Hessian so the QP stays positive definite with no
+# registered costs (reference ``src/LMPC.cpp:250-251``).
+HESSIAN_RIDGE = 1e-6
+
+
+def build_qp(preview: Preview, x0: Array,
+             costs: Sequence[CostFunction],
+             constraints: Sequence[Constraint],
+             ridge: float = HESSIAN_RIDGE) -> DenseQP:
+    """Assemble the dense QP (reference ``updateSystem``+``makeQPForm``,
+    ``src/LMPC.cpp:247-302``).
+
+    * ``Q = ridge*I + sum(cost.Q)``, ``c = sum(cost.c)``;
+    * equality / inequality rows stacked in registration order;
+    * bounds start at ±inf and each bound constraint overwrites — the
+      reference writes bound segments sequentially from row 0
+      (``src/LMPC.cpp:295-301``), so with its always-full-size rows the
+      last-registered constraint is the effective one.
+    """
+    n = preview.full_udim
+    dt = preview.Psi.dtype
+    Q = ridge * jnp.eye(n, dtype=dt)
+    c = jnp.zeros((n,), dt)
+    for cost in costs:
+        Qi, ci = cost.lower(preview, x0)
+        Q = Q + Qi
+        c = c + ci
+
+    eq_A, eq_b, ineq_A, ineq_b = [], [], [], []
+    lb = jnp.full((n,), -jnp.inf, dt)
+    ub = jnp.full((n,), jnp.inf, dt)
+    for constr in constraints:
+        kind = constr.kind()
+        if kind is ConstraintKind.BOUND:
+            lo, up = constr.lower(preview, x0)
+            lb, ub = lo.astype(dt), up.astype(dt)
+        elif kind is ConstraintKind.EQUALITY:
+            A, b = constr.lower(preview, x0)
+            eq_A.append(A)
+            eq_b.append(b)
+        else:
+            A, b = constr.lower(preview, x0)
+            ineq_A.append(A)
+            ineq_b.append(b)
+
+    def _stack(As, bs):
+        if not As:
+            return jnp.zeros((0, n), dt), jnp.zeros((0,), dt)
+        return (jnp.concatenate([jnp.atleast_2d(A) for A in As]),
+                jnp.concatenate([jnp.atleast_1d(b) for b in bs]))
+
+    Aeq, beq = _stack(eq_A, eq_b)
+    Aineq, bineq = _stack(ineq_A, ineq_b)
+    return DenseQP(Q=Q, c=c, Aeq=Aeq, beq=beq, Aineq=Aineq, bineq=bineq,
+                   lb=lb, ub=ub)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MPCResult:
+    """One MPC solve: optimal controls, reconstructed trajectory, QP info."""
+
+    control: Array      # [N*u]
+    trajectory: Array   # [(N+1)*x]
+    solution: QPSolution
+
+
+def solve_mpc(system: System,
+              costs: Sequence[CostFunction] = (),
+              constraints: Sequence[Constraint] = (),
+              options: SolverOptions = SolverOptions(),
+              warm_start: Optional[WarmStart] = None,
+              solver: Optional[Callable] = None) -> MPCResult:
+    """Functional one-shot MPC solve (condense → build → solve → replay).
+
+    Pure and jittable: ``jax.jit(solve_mpc, static_argnames=(...))`` or wrap
+    in ``partial``.  ``vmap`` over ``system``/``warm_start`` leaves for
+    batched scenarios.
+    """
+    solve = solver or get_solver(None)
+    preview = condense(system)
+    qp = build_qp(preview, system.x0, tuple(costs), tuple(constraints))
+    sol = solve(qp, options, warm_start)
+    X = preview.trajectory(system.x0, sol.x)
+    return MPCResult(control=sol.x, trajectory=X, solution=sol)
+
+
+class LMPC:
+    """Stateful controller facade mirroring ``copra::LMPC``
+    (``include/copra/LMPC.h:46-151``).
+
+    Lifecycle parity:
+
+    * ``add_cost``/``add_constraint`` validate shapes immediately
+      (reference ``initializeCost``/``initializeConstraint`` throw);
+    * adding the *same* ``ControlConstraint``/``ControlBoundConstraint``
+      instance twice raises, mirroring the reference's move-semantics
+      double-init error (``src/constraints.cpp:103-104,293-294``);
+    * removal is explicit (``removeCost``/``removeConstraint``); there is no
+      use-count auto-eviction — pytrees are values, not shared pointers.
+    """
+
+    def __init__(self, system: System,
+                 solver: str = "default",
+                 options: SolverOptions = SolverOptions()):
+        self._system = system
+        self._preview = condense(system)
+        self._costs: List[CostFunction] = []
+        self._constraints: List[Constraint] = []
+        self._solver_name = solver
+        self._solver_fn = get_solver(solver)
+        self._options = options
+        self._result: Optional[MPCResult] = None
+        self._warm: Optional[WarmStart] = None
+        self._solve_time = 0.0
+        self._build_and_solve_time = 0.0
+        self._jitted = None
+
+    # ---- solver selection (reference LMPC.h:61-67) ----
+    def select_qp_solver(self, name: str) -> None:
+        self._solver_fn = get_solver(name)
+        self._solver_name = name
+        self._jitted = None
+
+    def use_solver(self, fn: Callable) -> None:
+        """Inject a custom solve callable (reference ``useSolver``)."""
+        self._solver_fn = fn
+        self._solver_name = "<custom>"
+        self._jitted = None
+
+    @property
+    def options(self) -> SolverOptions:
+        return self._options
+
+    @options.setter
+    def options(self, opts: SolverOptions) -> None:
+        self._options = opts
+        self._jitted = None
+
+    # ---- system swap (reference initializeController, LMPC.h:74) ----
+    def initialize_controller(self, system: System) -> None:
+        self._system = system
+        self._preview = condense(system)
+        self._jitted = None
+
+    @property
+    def system(self) -> System:
+        return self._system
+
+    def set_initial_state(self, x0) -> None:
+        """Receding-horizon re-seed (reference ``System::xInit``)."""
+        self._system = self._system.with_x0(x0)
+
+    # ---- cost / constraint registry (reference LMPC.h:124-151) ----
+    def add_cost(self, cost: CostFunction) -> CostFunction:
+        cost.validate(self._preview)
+        self._costs.append(cost)
+        self._jitted = None
+        return cost
+
+    def add_constraint(self, constr: Constraint) -> Constraint:
+        if getattr(constr, "_consumed", False):
+            raise InitializationError(
+                f"this {type(constr).__name__} instance was already "
+                f"registered; the reference forbids re-initialization of "
+                f"move-semantics constraints (src/constraints.cpp:103-104).")
+        constr.validate(self._preview)
+        if type(constr).__name__ in ("ControlConstraint",
+                                     "ControlBoundConstraint"):
+            object.__setattr__(constr, "_consumed", True)
+        self._constraints.append(constr)
+        self._jitted = None
+        return constr
+
+    def remove_cost(self, cost: CostFunction) -> None:
+        self._costs = [c for c in self._costs if c is not cost]
+        self._jitted = None
+
+    def remove_constraint(self, constr: Constraint) -> None:
+        self._constraints = [c for c in self._constraints if c is not constr]
+        self._jitted = None
+
+    def reset_costs(self) -> None:
+        self._costs = []
+        self._jitted = None
+
+    def reset_constraints(self) -> None:
+        self._constraints = []
+        self._jitted = None
+
+    @property
+    def costs(self) -> Tuple[CostFunction, ...]:
+        return tuple(self._costs)
+
+    @property
+    def constraints(self) -> Tuple[Constraint, ...]:
+        return tuple(self._constraints)
+
+    # ---- solve path (reference LMPC::solve, src/LMPC.cpp:112-128) ----
+    def _build_jitted(self):
+        solver_fn = self._solver_fn
+        options = self._options
+
+        def _pipeline(system, costs, constraints, warm):
+            return solve_mpc(system, costs, constraints, options, warm,
+                             solver=lambda qp, o, w: solver_fn(qp, o, w))
+
+        return jax.jit(_pipeline)
+
+    def solve(self, warm_start: bool = False) -> bool:
+        """Build the QP and solve it; returns success like the reference.
+
+        ``warm_start=True`` reuses the previous solution's ADMM state —
+        the receding-horizon fast path.
+        """
+        t0 = time.perf_counter()
+        if self._jitted is None:
+            self._jitted = self._build_jitted()
+        warm = self._warm if warm_start else None
+        t1 = time.perf_counter()
+        result = self._jitted(self._system, tuple(self._costs),
+                              tuple(self._constraints), warm)
+        jax.block_until_ready(result)
+        t2 = time.perf_counter()
+        self._result = result
+        sol = result.solution
+        self._warm = WarmStart(x=sol.x, y=sol.y, z=sol.z)
+        self._solve_time = t2 - t1
+        self._build_and_solve_time = t2 - t0
+        return bool(jnp.all(sol.status == 0))
+
+    # ---- results (reference LMPC.h:87-117) ----
+    def control(self) -> Array:
+        """Optimal control sequence U (reference ``control()``)."""
+        self._require_result()
+        return self._result.control
+
+    def trajectory(self) -> Array:
+        """Reconstructed state stack X (reference ``trajectory()``)."""
+        self._require_result()
+        return self._result.trajectory
+
+    def results(self) -> MPCResult:
+        self._require_result()
+        return self._result
+
+    def solve_time(self) -> float:
+        """Pure solve wall time in seconds (reference ``solveTime()``)."""
+        return self._solve_time
+
+    def solve_and_build_time(self) -> float:
+        """Build+solve wall time in seconds (reference
+        ``solveAndBuildTime()``)."""
+        return self._build_and_solve_time
+
+    def inform(self) -> str:
+        self._require_result()
+        return self._result.solution.inform()
+
+    def _require_result(self) -> None:
+        if self._result is None:
+            raise InitializationError("call solve() first.")

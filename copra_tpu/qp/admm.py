@@ -1,0 +1,234 @@
+"""Batched on-device dense QP solver (OSQP-style ADMM + active-set polish).
+
+This single solver replaces all six C++ adapter backends of the reference
+(``/root/reference/src/solvers/*.cpp`` — qpOASES/QuadProg/QLD/OSQP/GUROBI/
+LSSOL).  The design follows the one backend built for MPC warm starts, OSQP
+(``src/solvers/OSQPSolver.cpp:46-91``), re-architected for TPU:
+
+* the QP is lowered once to the two-sided form ``l <= C x <= u`` with
+  ``C = [Aeq; Aineq; I]`` — the same merge the reference adapters perform
+  (``src/solvers/qpOASESSolver.cpp:91-104``);
+* the KKT matrix ``Q + sigma*I + C^T diag(rho) C`` is Cholesky-factorized
+  once and reused across iterations (batched over scenarios via vmap,
+  MXU-friendly dense triangular solves);
+* iterations run in ``lax.while_loop`` with residual-based early exit, or a
+  fixed count for uniform progress across batch lanes / mesh shards;
+* an optional active-set KKT polish with iterative refinement recovers
+  active-set-solver accuracy (what the reference gets from qpOASES), so
+  first-order ADMM still meets the 1e-5 golden tolerances.
+
+Everything is pure and jittable; ``vmap`` gives thousands of scenarios per
+chip, ``shard_map`` scales over a mesh (see ``copra_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .types import (STATUS_MAX_ITER, STATUS_SOLVED, DenseQP, QPSolution,
+                    SolverOptions, WarmStart)
+
+Array = jax.Array
+
+
+def stack_constraints(qp: DenseQP, options: SolverOptions
+                      ) -> Tuple[Array, Array, Array, Array]:
+    """Lower to ``l <= C x <= u`` with per-row ADMM penalties.
+
+    Equality rows get ``l = u = beq`` and a boosted penalty
+    (``rho * rho_eq_scale``), the OSQP treatment; inequality rows get
+    ``l = -inf``; box rows are the identity block.
+    """
+    n = qp.nr_vars
+    dt = qp.Q.dtype
+    eye = jnp.eye(n, dtype=dt)
+    C = jnp.concatenate([qp.Aeq, qp.Aineq, eye], axis=0)
+    neg_inf = jnp.full((qp.nr_ineq,), -jnp.inf, dt)
+    l = jnp.concatenate([qp.beq, neg_inf, qp.lb])
+    u = jnp.concatenate([qp.beq, qp.bineq, qp.ub])
+    rho = jnp.concatenate([
+        jnp.full((qp.nr_eq,), options.rho * options.rho_eq_scale, dt),
+        jnp.full((qp.nr_ineq + n,), options.rho, dt),
+    ])
+    return C, l, u, rho
+
+
+def _inf_norm(v: Array) -> Array:
+    return jnp.max(jnp.abs(v), initial=jnp.zeros((), v.dtype))
+
+
+def _polish(qp: DenseQP, C: Array, l: Array, u: Array,
+            x: Array, y: Array, z: Array,
+            options: SolverOptions) -> Tuple[Array, Array]:
+    """Active-set KKT polish with iterative refinement.
+
+    The TPU analog of OSQP's solution polishing: identify the active rows
+    from the dual signs, solve the equality-constrained KKT system on them
+    (masked to keep shapes static), refine, and accept only if the KKT
+    residuals improved.  This recovers the vertex-exact accuracy the
+    reference gets from its active-set backends (qpOASES/QuadProg/QLD).
+    """
+    n = qp.nr_vars
+    m = C.shape[0]
+    dt = qp.Q.dtype
+    delta = jnp.asarray(options.polish_delta, dt)
+
+    y_scale = _inf_norm(y)
+    thr = 1e-6 * jnp.maximum(y_scale, 1.0)
+    act_lo = y < -thr
+    act_up = y > thr
+    act = act_lo | act_up
+    actf = act.astype(dt)
+
+    Ca = C * actf[:, None]
+    b_act = jnp.where(act, jnp.where(act_up, u, l), 0.0).astype(dt)
+
+    eye_n = jnp.eye(n, dtype=dt)
+    eye_m = jnp.eye(m, dtype=dt)
+    inact_diag = jnp.diag(1.0 - actf)
+
+    K_reg = jnp.block([
+        [qp.Q + delta * eye_n, Ca.T],
+        [Ca, -delta * eye_m - inact_diag],
+    ])
+    K0 = jnp.block([
+        [qp.Q, Ca.T],
+        [Ca, -inact_diag],
+    ])
+    rhs = jnp.concatenate([-qp.c, b_act])
+
+    lu, piv = jax.scipy.linalg.lu_factor(K_reg)
+    t = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    for _ in range(options.polish_refine_steps):
+        r = rhs - K0 @ t
+        t = t + jax.scipy.linalg.lu_solve((lu, piv), r)
+
+    x_pol = t[:n]
+    y_pol = jnp.where(act, t[n:], 0.0).astype(dt)
+
+    # accept only if KKT residuals improved
+    def _res(xc, yc):
+        zc = jnp.clip(C @ xc, l, u)
+        rp = _inf_norm(C @ xc - zc)
+        rd = _inf_norm(qp.Q @ xc + qp.c + C.T @ yc)
+        return rp + rd, zc
+
+    res_old, _ = _res(x, y)
+    res_new, z_pol = _res(x_pol, y_pol)
+    ok = (res_new < res_old) & jnp.all(jnp.isfinite(x_pol))
+    x_out = jnp.where(ok, x_pol, x)
+    y_out = jnp.where(ok, y_pol, y)
+    return x_out, y_out
+
+
+def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
+             warm_start: Optional[WarmStart] = None) -> QPSolution:
+    """Solve one dense QP (vmap for batches).  Pure and jittable;
+    ``options`` must be static under jit."""
+    n = qp.nr_vars
+    dt = qp.Q.dtype
+    C, l, u, rho = stack_constraints(qp, options)
+    m = C.shape[0]
+    rho_inv = 1.0 / rho
+    sigma = jnp.asarray(options.sigma, dt)
+    alpha = jnp.asarray(options.alpha, dt)
+
+    K = qp.Q + sigma * jnp.eye(n, dtype=dt) + (C.T * rho) @ C
+    L = jnp.linalg.cholesky(K)
+
+    if warm_start is not None:
+        x0, y0, z0 = warm_start.x, warm_start.y, warm_start.z
+    else:
+        x0 = jnp.zeros((n,), dt)
+        y0 = jnp.zeros((m,), dt)
+        z0 = jnp.zeros((m,), dt)
+
+    eps_abs = jnp.asarray(options.eps_abs, dt)
+    eps_rel = jnp.asarray(options.eps_rel, dt)
+    c_norm = _inf_norm(qp.c)
+
+    def one_iter(x, z, y):
+        rhs = sigma * x - qp.c + C.T @ (rho * z - y)
+        x_t = lax.linalg.triangular_solve(
+            L, lax.linalg.triangular_solve(
+                L, rhs[:, None], left_side=True, lower=True),
+            left_side=True, lower=True, transpose_a=True)[:, 0]
+        z_t = C @ x_t
+        x_n = alpha * x_t + (1 - alpha) * x
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_n = jnp.clip(z_rel + rho_inv * y, l, u)
+        y_n = y + rho * (z_rel - z_n)
+        return x_n, z_n, y_n
+
+    def residuals(x, z, y):
+        Cx = C @ x
+        r_prim = _inf_norm(Cx - z)
+        Qx = qp.Q @ x
+        CTy = C.T @ y
+        r_dual = _inf_norm(Qx + qp.c + CTy)
+        eps_prim = eps_abs + eps_rel * jnp.maximum(_inf_norm(Cx),
+                                                   _inf_norm(z))
+        eps_dual = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(_inf_norm(Qx), _inf_norm(CTy)), c_norm)
+        return r_prim, r_dual, (r_prim <= eps_prim) & (r_dual <= eps_dual)
+
+    if options.early_exit:
+        def cond(state):
+            _, _, _, i, done = state
+            return (~done) & (i < options.max_iter)
+
+        def body(state):
+            x, z, y, i, _ = state
+            x, z, y = one_iter(x, z, y)
+            i = i + 1
+            check = (i % options.check_interval == 0) | (i >= options.max_iter)
+
+            def with_check(_):
+                _, _, conv = residuals(x, z, y)
+                return conv
+
+            done = lax.cond(check, with_check, lambda _: False, None)
+            return (x, z, y, i, done)
+
+        x, z, y, iters, _ = lax.while_loop(
+            cond, body, (x0, z0, y0, jnp.zeros((), jnp.int32), False))
+    else:
+        def body(i, state):
+            x, z, y = state
+            return one_iter(x, z, y)
+
+        x, z, y = lax.fori_loop(0, options.max_iter, body, (x0, z0, y0))
+        iters = jnp.asarray(options.max_iter, jnp.int32)
+
+    if options.polish:
+        x, y = _polish(qp, C, l, u, x, y, z, options)
+        z = jnp.clip(C @ x, l, u)
+
+    r_prim, r_dual, conv = residuals(x, z, y)
+    status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
+    return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,
+                      primal_residual=r_prim, dual_residual=r_dual)
+
+
+def solve_qp_batched(qp: DenseQP, options: SolverOptions = SolverOptions(),
+                     warm_start: Optional[WarmStart] = None) -> QPSolution:
+    """vmap of :func:`solve_qp` over a leading batch axis.
+
+    Leaves carrying a batch dimension (ndim one above their canonical rank)
+    are mapped; unbatched leaves (e.g. shared bounds or empty constraint
+    blocks) broadcast.
+    """
+    base_ndim = dict(Q=2, c=1, Aeq=2, beq=1, Aineq=2, bineq=1, lb=1, ub=1)
+    axes = DenseQP(**{
+        f: (0 if getattr(qp, f).ndim > nd else None)
+        for f, nd in base_ndim.items()})
+    if warm_start is None:
+        return jax.vmap(lambda q: solve_qp(q, options), in_axes=(axes,))(qp)
+    w_axes = WarmStart(x=0, y=0, z=0)
+    return jax.vmap(lambda q, w: solve_qp(q, options, w),
+                    in_axes=(axes, w_axes))(qp, warm_start)

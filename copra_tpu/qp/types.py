@@ -1,0 +1,148 @@
+"""Dense-QP problem/solution pytrees and solver options.
+
+TPU-native replacement for the reference's solver-adapter data marshalling
+(``/root/reference/include/copra/SolverInterface.h:33-128``): instead of a
+virtual ``SI_problem``/``SI_solve`` API copying Eigen matrices into each
+backend's layout, the QP is one immutable pytree in the canonical form
+
+    min 1/2 x^T Q x + c^T x
+    s.t. Aeq x = beq,  Aineq x <= bineq,  lb <= x <= ub
+
+(the exact form ``LMPC::solve`` hands to ``SI_solve``,
+``src/LMPC.cpp:119-121``), and solvers are pure jittable functions over it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Status codes (reference analog: per-solver SI_fail()/SI_inform() codes,
+# e.g. src/solvers/QLDSolver.cpp:26-59).
+STATUS_SOLVED = 0
+STATUS_MAX_ITER = 1
+STATUS_PRIMAL_INFEASIBLE = 2
+STATUS_DUAL_INFEASIBLE = 3
+
+STATUS_MESSAGES = {
+    STATUS_SOLVED: "solved",
+    STATUS_MAX_ITER: "maximum iterations reached",
+    STATUS_PRIMAL_INFEASIBLE: "primal infeasible",
+    STATUS_DUAL_INFEASIBLE: "dual infeasible",
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseQP:
+    """One dense QP (or a batch of them under vmap)."""
+
+    Q: Array        # [n, n]
+    c: Array        # [n]
+    Aeq: Array      # [me, n]  (me may be 0)
+    beq: Array      # [me]
+    Aineq: Array    # [mi, n]  (mi may be 0)
+    bineq: Array    # [mi]
+    lb: Array       # [n]
+    ub: Array       # [n]
+
+    @property
+    def nr_vars(self) -> int:
+        return self.Q.shape[-1]
+
+    @property
+    def nr_eq(self) -> int:
+        return self.Aeq.shape[-2]
+
+    @property
+    def nr_ineq(self) -> int:
+        return self.Aineq.shape[-2]
+
+    @classmethod
+    def create(cls, Q, c, Aeq=None, beq=None, Aineq=None, bineq=None,
+               lb=None, ub=None) -> "DenseQP":
+        Q = jnp.asarray(Q)
+        c = jnp.asarray(c)
+        n = Q.shape[-1]
+        dt = Q.dtype
+        if Aeq is None:
+            Aeq = jnp.zeros((0, n), dt)
+            beq = jnp.zeros((0,), dt)
+        if Aineq is None:
+            Aineq = jnp.zeros((0, n), dt)
+            bineq = jnp.zeros((0,), dt)
+        if lb is None:
+            lb = jnp.full((n,), -jnp.inf, dt)
+        if ub is None:
+            ub = jnp.full((n,), jnp.inf, dt)
+        return cls(Q=Q, c=c, Aeq=jnp.asarray(Aeq), beq=jnp.asarray(beq),
+                   Aineq=jnp.asarray(Aineq), bineq=jnp.asarray(bineq),
+                   lb=jnp.asarray(lb), ub=jnp.asarray(ub))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QPSolution:
+    """Solver result (reference analog: ``SI_result``/``SI_fail``/timings)."""
+
+    x: Array            # [n] primal solution
+    y: Array            # [m] dual for the stacked constraint rows
+    z: Array            # [m] slack (projection of Cx)
+    status: Array       # int32 status code
+    iterations: Array   # int32 ADMM iterations executed
+    primal_residual: Array
+    dual_residual: Array
+
+    def inform(self) -> str:
+        """Human-readable status (reference ``SI_inform()``)."""
+        code = int(self.status) if self.status.ndim == 0 else -1
+        return STATUS_MESSAGES.get(code, "mixed batch statuses")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WarmStart:
+    """ADMM warm-start state: previous ``(x, y, z)``.
+
+    First-class feature — the reference only exposes warm starting on its
+    OSQP/LSSOL/GUROBI adapters (``SolverInterface.h:74-84``) and the default
+    qpOASES path cold-starts every call
+    (``src/solvers/qpOASESSolver.cpp:114-118``).
+    """
+
+    x: Array
+    y: Array
+    z: Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Static (hashable) solver configuration.
+
+    Reference analog: the ``SI_maxIter``/``SI_feasibilityTolerance``/
+    ``SI_warmStart``/``SI_printLevel`` setters (``SolverInterface.h:40-128``)
+    — here one frozen dataclass usable as a jit static argument.
+    """
+
+    max_iter: int = 2000
+    eps_abs: float = 1e-7
+    eps_rel: float = 1e-7
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3     # OSQP boosts rho on equality rows
+    sigma: float = 1e-6
+    alpha: float = 1.6            # over-relaxation
+    check_interval: int = 10      # residual-check cadence inside while_loop
+    polish: bool = True           # active-set KKT polish after ADMM
+    polish_delta: float = 1e-8
+    polish_refine_steps: int = 3
+    early_exit: bool = True       # False -> fixed iteration count (uniform
+    #                               across batch lanes / mesh shards)
+    infeasibility_detection: bool = True
+
+    def replace(self, **kw) -> "SolverOptions":
+        return dataclasses.replace(self, **kw)
