@@ -1,0 +1,84 @@
+"""Headline benchmark: batched warm-started LTV MPC solves/s on one chip.
+
+Config mirrors BASELINE.md config 4 (1k-4k batched randomized LTV scenarios,
+warm-started QP) at the N=100 horizon of the baseline metric.  Baseline
+target: 10,000 solves/s per chip (BASELINE.json; the C++ reference publishes
+no numbers of its own).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_SOLVES_PER_S = 10_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.parallel import solve_mpc_batch
+
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    horizon = int(os.environ.get("BENCH_HORIZON", 100))
+    iters = int(os.environ.get("BENCH_ITERS", 60))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    dtype = jnp.float32
+
+    T, mass = 0.005, 5.0
+    A = np.array([[1.0, T], [0.0, 1.0]])
+    B = np.array([[0.5 * T * T / mass], [T / mass]])
+    d = np.array([-9.81 / 2.0 * T * T, -9.81 * T])
+
+    rng = np.random.default_rng(0)
+    As = np.repeat(np.repeat(A[None], horizon, 0)[None], batch, 0)
+    As += rng.normal(scale=1e-4, size=As.shape)
+    Bs = np.repeat(np.repeat(B[None], horizon, 0)[None], batch, 0)
+    ds = np.repeat(np.repeat(d[None], horizon, 0)[None], batch, 0)
+    x0s = np.array([0.0, -1.5])[None] + rng.normal(
+        scale=[0.02, 0.1], size=(batch, 2))
+
+    system = ct.LTVSystem(A=jnp.asarray(As, dtype), B=jnp.asarray(Bs, dtype),
+                          d=jnp.asarray(ds, dtype),
+                          x0=jnp.asarray(x0s, dtype))
+    costs = (ct.TargetCost.create(np.eye(2), [0.0, -1.0],
+                                  weights=[10.0, 1e4]),
+             ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
+    constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+
+    @jax.jit
+    def step(sys_b, warm):
+        res = solve_mpc_batch(sys_b, costs, constraints, opts,
+                              warm_start=warm)
+        sol = res.solution
+        return res.control, ct.WarmStart(x=sol.x, y=sol.y, z=sol.z)
+
+    # warmup: compile + settle the warm start
+    u, warm = step(system, None)
+    u, warm = step(system, warm)
+    jax.block_until_ready(u)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        u, warm = step(system, warm)
+    jax.block_until_ready(u)
+    elapsed = time.perf_counter() - t0
+
+    solves_per_s = batch * steps / elapsed
+    print(json.dumps({
+        "metric": f"batched warm-started LTV MPC solves/s "
+                  f"(B={batch}, N={horizon}, {iters} ADMM iters)",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -242,6 +242,10 @@ class LMPC:
             return solve_mpc(system, costs, constraints, options, warm,
                              solver=lambda qp, o, w: solver_fn(qp, o, w))
 
+        # host-only backends (e.g. the native active-set oracle) cannot be
+        # traced — run them eagerly
+        if getattr(solver_fn, "host_only", False):
+            return _pipeline
         return jax.jit(_pipeline)
 
     def solve(self, warm_start: bool = False) -> bool:

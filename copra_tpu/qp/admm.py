@@ -76,11 +76,17 @@ def _polish(qp: DenseQP, C: Array, l: Array, u: Array,
     n = qp.nr_vars
     m = C.shape[0]
     dt = qp.Q.dtype
-    delta = jnp.asarray(options.polish_delta, dt)
+    # dtype-aware regularization: refinement error contracts ~ delta*cond(K)
+    # per step, so pick the smallest delta the dtype can represent cleanly
+    delta = jnp.asarray(max(options.polish_delta,
+                            100.0 * float(jnp.finfo(dt).eps)), dt)
 
     y_scale = _inf_norm(y)
     thr = 1e-6 * jnp.maximum(y_scale, 1.0)
-    act_lo = y < -thr
+    # equality rows (the leading nr_eq of C, see stack_constraints) are
+    # always active regardless of dual magnitude
+    eq_mask = jnp.arange(m) < qp.nr_eq
+    act_lo = (y < -thr) | eq_mask
     act_up = y > thr
     act = act_lo | act_up
     actf = act.astype(dt)
@@ -148,8 +154,11 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
         y0 = jnp.zeros((m,), dt)
         z0 = jnp.zeros((m,), dt)
 
-    eps_abs = jnp.asarray(options.eps_abs, dt)
-    eps_rel = jnp.asarray(options.eps_rel, dt)
+    # dtype-aware tolerance floor: f32 cannot meaningfully certify residuals
+    # below ~25 machine eps (~3e-6); f64 keeps the user's setting
+    eps_floor = 25.0 * float(jnp.finfo(dt).eps)
+    eps_abs = jnp.asarray(max(options.eps_abs, eps_floor), dt)
+    eps_rel = jnp.asarray(max(options.eps_rel, eps_floor), dt)
     c_norm = _inf_norm(qp.c)
 
     def one_iter(x, z, y):

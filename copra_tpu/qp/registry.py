@@ -42,5 +42,17 @@ def available_solvers():
     return sorted(_REGISTRY)
 
 
+def _active_set(qp: DenseQP, options: SolverOptions = SolverOptions(),
+                warm_start: Optional[WarmStart] = None) -> QPSolution:
+    """Exact native (C++ Goldfarb-Idnani) oracle — host-only, f64,
+    cold-start; see ``copra_tpu.qp.native``."""
+    from .native import solve_qp_native
+    return solve_qp_native(qp, options, warm_start)
+
+
+# host_only: the LMPC facade must not jit this path (ctypes callback)
+_active_set.host_only = True  # type: ignore[attr-defined]
+
 register_solver("admm", solve_qp)
 register_solver("default", solve_qp)
+register_solver("active_set", _active_set)

@@ -138,7 +138,7 @@ class SolverOptions:
     alpha: float = 1.6            # over-relaxation
     check_interval: int = 10      # residual-check cadence inside while_loop
     polish: bool = True           # active-set KKT polish after ADMM
-    polish_delta: float = 1e-8
+    polish_delta: float = 1e-10   # floored at 100*machine_eps per dtype
     polish_refine_steps: int = 3
     early_exit: bool = True       # False -> fixed iteration count (uniform
     #                               across batch lanes / mesh shards)
