@@ -23,14 +23,16 @@ from .qp.registry import (available_solvers, get_solver, register_solver)
 from .qp.types import (DenseQP, QPSolution, SolverOptions, WarmStart,
                        STATUS_MAX_ITER, STATUS_SOLVED)
 from .systems import (LTISystem, LTVSystem, Preview, condense, condense_lti,
-                      condense_ltv, lti_as_ltv, replay_dynamics)
+                      condense_lti_assoc, condense_ltv, condense_ltv_assoc,
+                      lti_as_ltv, replay_dynamics)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "LMPC", "MPCResult", "build_qp", "solve_mpc", "HESSIAN_RIDGE",
     "LTISystem", "LTVSystem", "Preview", "condense", "condense_lti",
-    "condense_ltv", "lti_as_ltv", "replay_dynamics",
+    "condense_lti_assoc", "condense_ltv", "condense_ltv_assoc",
+    "lti_as_ltv", "replay_dynamics",
     "CostFunction", "TrajectoryCost", "SimpleTrajectoryCost", "TargetCost",
     "ControlCost", "SimpleControlCost", "MixedCost",
     "Constraint", "ConstraintKind", "TrajectoryConstraint",

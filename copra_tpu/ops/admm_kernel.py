@@ -1,0 +1,189 @@
+"""Fused ADMM iteration kernels (Pallas TPU).
+
+The XLA path (``copra_tpu.qp.admm``) re-reads the batched KKT inverse (and
+constraint matrix) from HBM on every iteration — ~``n_iter`` times more HBM
+traffic than necessary.  These kernels pin one sub-batch of scenarios'
+operators in VMEM and run the whole fixed-count iteration loop on-chip:
+
+    HBM traffic:  (Kinv [+ C] + vectors) once per scenario,
+    instead of once per scenario *per iteration*.
+
+Semantics match ``solve_qp`` with ``early_exit=False, kkt_solve="inverse"``
+exactly (same update order, same over-relaxation), so the XLA path is the
+correctness oracle in tests.  Residuals/status/polish stay outside the
+kernel — they run once, not per iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
+                kinv_ref, c_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
+                x_ref, y_ref, z_ref):
+    """Box-only ADMM: C = I, z/y live in R^n.  One sub-batch per program."""
+    sb = x0_ref.shape[0]
+    rho_inv = 1.0 / rho
+    one_minus_alpha = 1.0 - alpha
+
+    for j in range(sb):  # unrolled over the sub-batch
+        Kinv = kinv_ref[j]          # [n, n]
+        c = c_ref[j][None, :]       # [1, n]
+        l = l_ref[j][None, :]
+        u = u_ref[j][None, :]
+
+        def body(_, carry):
+            x, z, y = carry         # each [1, n]
+            rhs = sigma * x - c + rho * z - y
+            x_t = jax.lax.dot_general(
+                rhs, Kinv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x_n = alpha * x_t + one_minus_alpha * x
+            z_rel = alpha * x_t + one_minus_alpha * z
+            z_n = jnp.clip(z_rel + rho_inv * y, l, u)
+            y_n = y + rho * (z_rel - z_n)
+            return (x_n, z_n, y_n)
+
+        init = (x0_ref[j][None, :], z0_ref[j][None, :], y0_ref[j][None, :])
+        x, z, y = lax.fori_loop(0, n_iter, body, init)
+        x_ref[j, :] = x[0]
+        z_ref[j, :] = z[0]
+        y_ref[j, :] = y[0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
+                                             "rho", "sub_batch", "interpret"))
+def fused_admm_box(Kinv: Array, c: Array, l: Array, u: Array,
+                   x0: Array, y0: Array, z0: Array, *,
+                   n_iter: int, sigma: float, alpha: float, rho: float,
+                   sub_batch: int = 8,
+                   interpret: bool = False) -> Tuple[Array, Array, Array]:
+    """Run ``n_iter`` box-only ADMM iterations for a batch of scenarios.
+
+    Args: ``Kinv [B,n,n]`` (inverse of ``Q+(sigma+rho)I``), ``c/l/u/x0/y0/z0
+    [B,n]``.  Returns ``(x, y, z)`` each ``[B,n]``.
+    """
+    B, n = c.shape
+    sb = min(sub_batch, B)
+    while B % sb:
+        sb -= 1
+    grid = (B // sb,)
+
+    def block1(i):
+        return (i, 0)
+
+    def block2(i):
+        return (i, 0, 0)
+
+    vec_spec = pl.BlockSpec((sb, n), block1, memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((sb, n, n), block2, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_box_kernel, n_iter, float(sigma),
+                               float(alpha), float(rho))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat_spec] + [vec_spec] * 6,
+        out_specs=(vec_spec, vec_spec, vec_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, n), c.dtype)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(Kinv, c, l, u, x0, y0, z0)
+    return out
+
+
+def _general_kernel(n_iter: int, sigma: float, alpha: float,
+                    kinv_ref, cmat_ref, cvec_ref, l_ref, u_ref, rho_ref,
+                    x0_ref, y0_ref, z0_ref, x_ref, y_ref, z_ref):
+    """General ADMM with a dense constraint matrix C [m, n] per scenario and
+    per-row penalties rho [m]."""
+    sb = cvec_ref.shape[0]
+    one_minus_alpha = 1.0 - alpha
+
+    for j in range(sb):
+        Kinv = kinv_ref[j]              # [n, n]
+        C = cmat_ref[j]                 # [m, n]
+        c = cvec_ref[j][None, :]        # [1, n]
+        l = l_ref[j][None, :]           # [1, m]
+        u = u_ref[j][None, :]
+        rho = rho_ref[j][None, :]       # [1, m]
+        rho_inv = 1.0 / rho
+
+        def body(_, carry):
+            x, z, y = carry             # [1,n], [1,m], [1,m]
+            w = rho * z - y             # [1, m]
+            # C^T w : contract C's m-axis with w
+            ctw = jax.lax.dot_general(
+                w, C, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [1, n]
+            rhs = sigma * x - c + ctw
+            x_t = jax.lax.dot_general(
+                rhs, Kinv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [1, n]
+            # C x_t : contract C's n-axis
+            z_t = jax.lax.dot_general(
+                x_t, C, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [1, m]
+            x_n = alpha * x_t + one_minus_alpha * x
+            z_rel = alpha * z_t + one_minus_alpha * z
+            z_n = jnp.clip(z_rel + rho_inv * y, l, u)
+            y_n = y + rho * (z_rel - z_n)
+            return (x_n, z_n, y_n)
+
+        init = (x0_ref[j][None, :], z0_ref[j][None, :], y0_ref[j][None, :])
+        x, z, y = lax.fori_loop(0, n_iter, body, init)
+        x_ref[j, :] = x[0]
+        z_ref[j, :] = z[0]
+        y_ref[j, :] = y[0]
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
+                                             "sub_batch", "interpret"))
+def fused_admm_general(Kinv: Array, C: Array, c: Array,
+                       l: Array, u: Array, rho: Array,
+                       x0: Array, y0: Array, z0: Array, *,
+                       n_iter: int, sigma: float, alpha: float,
+                       sub_batch: int = 4,
+                       interpret: bool = False) -> Tuple[Array, Array, Array]:
+    """General fused ADMM: ``Kinv [B,n,n]``, ``C [B,m,n]``, ``c/x0 [B,n]``,
+    ``l/u/rho/y0/z0 [B,m]``.  Returns ``(x, y, z)``."""
+    B, m, n = C.shape
+    sb = min(sub_batch, B)
+    while B % sb:
+        sb -= 1
+    grid = (B // sb,)
+
+    def b2(i):
+        return (i, 0)
+
+    def b3(i):
+        return (i, 0, 0)
+
+    nvec = pl.BlockSpec((sb, n), b2, memory_space=pltpu.VMEM)
+    mvec = pl.BlockSpec((sb, m), b2, memory_space=pltpu.VMEM)
+    kmat = pl.BlockSpec((sb, n, n), b3, memory_space=pltpu.VMEM)
+    cmat = pl.BlockSpec((sb, m, n), b3, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_general_kernel, n_iter, float(sigma),
+                               float(alpha))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[kmat, cmat, nvec, mvec, mvec, mvec, nvec, mvec, mvec],
+        out_specs=(nvec, mvec, mvec),
+        out_shape=(jax.ShapeDtypeStruct((B, n), c.dtype),
+                   jax.ShapeDtypeStruct((B, m), c.dtype),
+                   jax.ShapeDtypeStruct((B, m), c.dtype)),
+        interpret=interpret,
+    )(Kinv, C, c, l, u, rho, x0, y0, z0)
+    return out

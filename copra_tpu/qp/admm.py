@@ -62,6 +62,49 @@ def _inf_norm(v: Array) -> Array:
     return jnp.max(jnp.abs(v), initial=jnp.zeros((), v.dtype))
 
 
+def ruiz_equilibrate(Q: Array, c: Array, C: Array, iters: int
+                     ) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """OSQP-style Ruiz equilibration of the stacked KKT data.
+
+    Returns ``(Qs, cs, Cs, D, E, cost_scale)`` with ``Qs = cost*D Q D``,
+    ``cs = cost*D c``, ``Cs = E C D``.  Scaling is what makes the f32
+    explicit-inverse KKT path viable on TPU: raw MPC Hessians mix 1e-6
+    ridge terms with 1e4 cost weights, far beyond f32 inversion accuracy
+    (SURVEY.md §7.3 hard part 1).  Zero rows/columns (masked constraint
+    rows) keep scale 1.
+    """
+    dt = Q.dtype
+    n = Q.shape[0]
+    m = C.shape[0]
+    D = jnp.ones((n,), dt)
+    E = jnp.ones((m,), dt)
+    cost = jnp.ones((), dt)
+
+    def guard(norm):
+        return jnp.where(norm > 1e-12, norm, 1.0)
+
+    for _ in range(iters):
+        col_norm = jnp.maximum(jnp.max(jnp.abs(Q), axis=0),
+                               (jnp.max(jnp.abs(C), axis=0)
+                                if m else jnp.zeros((n,), dt)))
+        d = 1.0 / jnp.sqrt(guard(col_norm))
+        row_norm = jnp.max(jnp.abs(C), axis=1) if m else jnp.zeros((0,), dt)
+        e = 1.0 / jnp.sqrt(guard(row_norm))
+        Q = Q * d[:, None] * d[None, :]
+        c = c * d
+        if m:
+            C = C * e[:, None] * d[None, :]
+        D = D * d
+        E = E * e
+        # cost normalization (OSQP's gamma step)
+        g = 1.0 / guard(jnp.maximum(jnp.mean(jnp.max(jnp.abs(Q), axis=0)),
+                                    _inf_norm(c)))
+        Q = Q * g
+        c = c * g
+        cost = cost * g
+    return Q, c, C, D, E, cost
+
+
 def _polish(qp: DenseQP, C: Array, l: Array, u: Array,
             x: Array, y: Array, z: Array,
             options: SolverOptions) -> Tuple[Array, Array]:
@@ -126,7 +169,15 @@ def _polish(qp: DenseQP, C: Array, l: Array, u: Array,
 
     res_old, _ = _res(x, y)
     res_new, z_pol = _res(x_pol, y_pol)
-    ok = (res_new < res_old) & jnp.all(jnp.isfinite(x_pol))
+    # dual-feasibility guard: a wrong active-set guess can satisfy the KKT
+    # equations exactly (polish solves them by construction) while flipping
+    # multiplier signs — reject it
+    sgn_tol = 1e-6 * jnp.maximum(_inf_norm(y_pol), 1.0)
+    ineq_mask = ~eq_mask
+    sign_ok = jnp.all(
+        jnp.where(act_up & ineq_mask, y_pol >= -sgn_tol, True)
+        & jnp.where(act_lo & ineq_mask, y_pol <= sgn_tol, True))
+    ok = (res_new < res_old) & sign_ok & jnp.all(jnp.isfinite(x_pol))
     x_out = jnp.where(ok, x_pol, x)
     y_out = jnp.where(ok, y_pol, y)
     return x_out, y_out
@@ -140,15 +191,76 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
     dt = qp.Q.dtype
     C, l, u, rho = stack_constraints(qp, options)
     m = C.shape[0]
-    rho_inv = 1.0 / rho
     sigma = jnp.asarray(options.sigma, dt)
     alpha = jnp.asarray(options.alpha, dt)
 
-    K = qp.Q + sigma * jnp.eye(n, dtype=dt) + (C.T * rho) @ C
+    # Ruiz equilibration: ADMM runs in the scaled space; results and
+    # residuals are reported unscaled.  Essential for f32 (TPU) numerics.
+    box_only = (qp.nr_eq == 0 and qp.nr_ineq == 0)
+    if options.scaling > 0:
+        Qs, cs, Cs, D, E, cost_s = ruiz_equilibrate(
+            qp.Q, qp.c, C, options.scaling)
+        ls, us = E * l, E * u
+    else:
+        Qs, cs, Cs = qp.Q, qp.c, C
+        D = jnp.ones((n,), dt)
+        E = jnp.ones((m,), dt)
+        cost_s = jnp.ones((), dt)
+        ls, us = l, u
+    D_inv, E_inv = 1.0 / D, 1.0 / E
+    rho_inv = 1.0 / rho
+
+    # Static specialization: with no eq/ineq rows the unscaled C is the
+    # identity, so the scaled C is the diagonal E*D — matvecs stay
+    # elementwise.  Shapes are static under jit, so this is trace-time.
+    if box_only:
+        cdiag = E * D
+        C_mv = lambda v: cdiag * v
+        CT_mv = lambda v: cdiag * v
+        K = Qs + sigma * jnp.eye(n, dtype=dt) + jnp.diag(rho * cdiag * cdiag)
+    else:
+        C_mv = lambda v: Cs @ v
+        CT_mv = lambda v: Cs.T @ v
+        K = Qs + sigma * jnp.eye(n, dtype=dt) + (Cs.T * rho) @ Cs
     L = jnp.linalg.cholesky(K)
+    kkt = options.kkt_solve
+    if kkt == "auto":
+        # explicit inverse turns every iteration's KKT solve into one
+        # MXU-friendly matvec; triangular solves are the better numerics
+        # on CPU f64
+        kkt = "chol" if jax.default_backend() == "cpu" else "inverse"
+    if kkt == "inverse":
+        # Symmetric Jacobi preconditioning of the inversion: K^-1 =
+        # S (S K S)^-1 S with S = diag(K)^-1/2 — mathematically the
+        # identity, numerically what keeps the explicit inverse usable in
+        # f32 when cost weights span 1e-6..1e4 (SURVEY.md §7.3 item 2).
+        S = 1.0 / jnp.sqrt(jnp.diagonal(K))
+        Ks = K * S[:, None] * S[None, :]
+        Ls = jnp.linalg.cholesky(Ks)
+        eye = jnp.eye(n, dtype=dt)
+        Lsi = lax.linalg.triangular_solve(Ls, eye, left_side=True, lower=True)
+        Kinv = (Lsi.T @ Lsi) * S[:, None] * S[None, :]
+        refine = options.kkt_refine
+        if refine < 0:  # auto: refine in f32, direct in f64
+            refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
+
+        def kkt_solve(rhs):
+            x = Kinv @ rhs
+            for _ in range(refine):
+                x = x + Kinv @ (rhs - K @ x)
+            return x
+    else:
+        def kkt_solve(rhs):
+            return lax.linalg.triangular_solve(
+                L, lax.linalg.triangular_solve(
+                    L, rhs[:, None], left_side=True, lower=True),
+                left_side=True, lower=True, transpose_a=True)[:, 0]
 
     if warm_start is not None:
-        x0, y0, z0 = warm_start.x, warm_start.y, warm_start.z
+        # incoming warm start is in the unscaled space
+        x0 = warm_start.x * D_inv
+        y0 = warm_start.y * cost_s * E_inv
+        z0 = warm_start.z * E
     else:
         x0 = jnp.zeros((n,), dt)
         y0 = jnp.zeros((m,), dt)
@@ -160,28 +272,30 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
     eps_abs = jnp.asarray(max(options.eps_abs, eps_floor), dt)
     eps_rel = jnp.asarray(max(options.eps_rel, eps_floor), dt)
     c_norm = _inf_norm(qp.c)
+    cost_inv = 1.0 / cost_s
 
     def one_iter(x, z, y):
-        rhs = sigma * x - qp.c + C.T @ (rho * z - y)
-        x_t = lax.linalg.triangular_solve(
-            L, lax.linalg.triangular_solve(
-                L, rhs[:, None], left_side=True, lower=True),
-            left_side=True, lower=True, transpose_a=True)[:, 0]
-        z_t = C @ x_t
+        rhs = sigma * x - cs + CT_mv(rho * z - y)
+        x_t = kkt_solve(rhs)
+        z_t = C_mv(x_t)
         x_n = alpha * x_t + (1 - alpha) * x
         z_rel = alpha * z_t + (1 - alpha) * z
-        z_n = jnp.clip(z_rel + rho_inv * y, l, u)
+        z_n = jnp.clip(z_rel + rho_inv * y, ls, us)
         y_n = y + rho * (z_rel - z_n)
         return x_n, z_n, y_n
 
     def residuals(x, z, y):
-        Cx = C @ x
-        r_prim = _inf_norm(Cx - z)
-        Qx = qp.Q @ x
-        CTy = C.T @ y
-        r_dual = _inf_norm(Qx + qp.c + CTy)
+        # unscaled residuals (OSQP convention): primal via E^-1, dual via
+        # D^-1 / cost_scale
+        Cx = E_inv * C_mv(x)
+        zu = E_inv * z
+        r_prim = _inf_norm(Cx - zu)
+        Qx = D_inv * (Qs @ x) * cost_inv
+        CTy = D_inv * CT_mv(y) * cost_inv
+        cu = D_inv * cs * cost_inv
+        r_dual = _inf_norm(Qx + cu + CTy)
         eps_prim = eps_abs + eps_rel * jnp.maximum(_inf_norm(Cx),
-                                                   _inf_norm(z))
+                                                   _inf_norm(zu))
         eps_dual = eps_abs + eps_rel * jnp.maximum(
             jnp.maximum(_inf_norm(Qx), _inf_norm(CTy)), c_norm)
         return r_prim, r_dual, (r_prim <= eps_prim) & (r_dual <= eps_dual)
@@ -214,11 +328,28 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
         x, z, y = lax.fori_loop(0, options.max_iter, body, (x0, z0, y0))
         iters = jnp.asarray(options.max_iter, jnp.int32)
 
+    # back to the unscaled space
+    x = D * x
+    y = E * y * cost_inv
+    z = E_inv * z
+
     if options.polish:
         x, y = _polish(qp, C, l, u, x, y, z, options)
         z = jnp.clip(C @ x, l, u)
 
-    r_prim, r_dual, conv = residuals(x, z, y)
+    def residuals_unscaled(x, z, y):
+        Cx = x if box_only else C @ x
+        r_prim = _inf_norm(Cx - z)
+        Qx = qp.Q @ x
+        CTy = y if box_only else C.T @ y
+        r_dual = _inf_norm(Qx + qp.c + CTy)
+        eps_prim = eps_abs + eps_rel * jnp.maximum(_inf_norm(Cx),
+                                                   _inf_norm(z))
+        eps_dual = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(_inf_norm(Qx), _inf_norm(CTy)), c_norm)
+        return r_prim, r_dual, (r_prim <= eps_prim) & (r_dual <= eps_dual)
+
+    r_prim, r_dual, conv = residuals_unscaled(x, z, y)
     status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
     return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,
                       primal_residual=r_prim, dual_residual=r_dual)

@@ -143,6 +143,12 @@ class SolverOptions:
     early_exit: bool = True       # False -> fixed iteration count (uniform
     #                               across batch lanes / mesh shards)
     infeasibility_detection: bool = True
+    kkt_solve: str = "auto"       # "chol" | "inverse" | "auto" (inverse on
+    #                               accelerators: one matvec per iteration)
+    scaling: int = 0              # Ruiz equilibration iterations (0 = off;
+    #                               pair with rho tuning when enabling)
+    kkt_refine: int = -1          # refinement steps in the inverse KKT
+    #                               solve; -1 = auto (1 in f32, 0 in f64)
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

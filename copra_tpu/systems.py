@@ -352,13 +352,103 @@ def condense_ltv(A: Array, B: Array, d: Array) -> Preview:
                    xi=xi.reshape((N + 1) * x), xdim=x, udim=u, horizon=N)
 
 
-def condense(system: System) -> Preview:
+def condense_lti_assoc(A: Array, B: Array, d: Array, horizon: int) -> Preview:
+    """O(log N)-depth LTI condensing via ``lax.associative_scan``.
+
+    The horizon-parallel (sequence-parallel) variant of
+    :func:`condense_lti`: the affine recursion ``x_{k+1} = A x_k + d``
+    composes associatively as ``(A2, b2) ∘ (A1, b1) = (A2 A1, A2 b1 + b2)``,
+    so Φ/ξ and the impulse stack build in log-depth instead of the
+    reference's N sequential steps (``src/systems/TimeInvariantSystem.cpp:
+    54-68``).  Same Toeplitz gather for Ψ.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    d = jnp.asarray(d)
+    N = int(horizon)
+    x, u = A.shape[0], B.shape[1]
+    dtype = jnp.result_type(A, B, d)
+
+    def combine(left, right):
+        A1, b1 = left
+        A2, b2 = right
+        return A2 @ A1, jnp.einsum("...ij,...j->...i", A2, b1) + b2
+
+    As = jnp.broadcast_to(A.astype(dtype), (N, x, x))
+    ds = jnp.broadcast_to(d.astype(dtype), (N, x))
+    phis, xis = lax.associative_scan(combine, (As, ds), axis=0)
+    # phis[k] = A^{k+1}, xis[k] = sum_{i<=k} A^i d
+    imps = jnp.concatenate([B.astype(dtype)[None],
+                            jnp.einsum("kij,ju->kiu", phis[:-1],
+                                       B.astype(dtype))], axis=0)
+
+    Phi = jnp.concatenate([jnp.eye(x, dtype=dtype)[None], phis], axis=0)
+    xi = jnp.concatenate([jnp.zeros((1, x), dtype), xis], axis=0)
+
+    imps_pad = jnp.concatenate([imps, jnp.zeros((1, x, u), dtype)], axis=0)
+    i_idx = jnp.arange(N + 1)[:, None]
+    j_idx = jnp.arange(N)[None, :]
+    k = i_idx - 1 - j_idx
+    k = jnp.where((k >= 0) & (k < N), k, N)
+    Psi = imps_pad[k].transpose(0, 2, 1, 3).reshape((N + 1) * x, N * u)
+    return Preview(Phi=Phi.reshape((N + 1) * x, x), Psi=Psi,
+                   xi=xi.reshape((N + 1) * x), xdim=x, udim=u, horizon=N)
+
+
+def condense_ltv_assoc(A: Array, B: Array, d: Array) -> Preview:
+    """O(log N)-depth LTV condensing via ``lax.associative_scan``.
+
+    The full recursion carried by :func:`condense_ltv` — including the
+    growing Ψ row-block — is an associative composition of pairs
+    ``(A_k, U_k)`` acting as ``psi -> A_k psi + U_k`` with
+    ``U_k = B_k e_k^T``: log-depth, large MXU-friendly matmuls per level
+    (O(log N) more flops than the serial scan, fully parallel — the right
+    trade on TPU for long horizons; SURVEY.md §5 long-context item).
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    d = jnp.asarray(d)
+    N, x = A.shape[0], A.shape[1]
+    u = B.shape[2]
+    dtype = jnp.result_type(A, B, d)
+
+    # inhomogeneous terms: [xi_k | Psi-row_k] stacked as one [x, 1+N*u] block
+    eye_n = jnp.eye(N, dtype=dtype)
+    sel = jnp.kron(eye_n, jnp.eye(u, dtype=dtype)).reshape(N, N * u, u)
+    U = jnp.einsum("kxu,kUu->kxU", B.astype(dtype), sel)   # [N, x, N*u]
+    rhs = jnp.concatenate([d.astype(dtype)[:, :, None], U], axis=2)
+
+    def combine(left, right):
+        A1, U1 = left
+        A2, U2 = right
+        return A2 @ A1, A2 @ U1 + U2
+
+    phis, outs = lax.associative_scan(combine, (A.astype(dtype), rhs), axis=0)
+    xis = outs[:, :, 0]
+    psis = outs[:, :, 1:]
+
+    Phi = jnp.concatenate([jnp.eye(x, dtype=dtype)[None], phis], axis=0)
+    Psi = jnp.concatenate([jnp.zeros((1, x, N * u), dtype), psis], axis=0)
+    xi = jnp.concatenate([jnp.zeros((1, x), dtype), xis], axis=0)
+    return Preview(Phi=Phi.reshape((N + 1) * x, x),
+                   Psi=Psi.reshape((N + 1) * x, N * u),
+                   xi=xi.reshape((N + 1) * x), xdim=x, udim=u, horizon=N)
+
+
+def condense(system: System, method: str = "scan") -> Preview:
     """Condense either system kind (reference ``System::update()``,
-    ``System.h:57``). Pure function — no dirty flag needed."""
+    ``System.h:57``). Pure function — no dirty flag needed.
+
+    ``method``: ``"scan"`` (serial O(N) depth, minimal flops) or
+    ``"assoc"`` (``lax.associative_scan``, O(log N) depth — the
+    horizon-parallel path for long horizons).
+    """
     if isinstance(system, LTISystem):
-        return condense_lti(system.A, system.B, system.d, system.horizon)
+        fn = condense_lti if method == "scan" else condense_lti_assoc
+        return fn(system.A, system.B, system.d, system.horizon)
     if isinstance(system, LTVSystem):
-        return condense_ltv(system.A, system.B, system.d)
+        fn = condense_ltv if method == "scan" else condense_ltv_assoc
+        return fn(system.A, system.B, system.d)
     raise TypeError(f"unknown system type: {type(system)!r}")
 
 

@@ -1,0 +1,74 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling/metrics, autospan unit
+behavior (SURVEY.md §5 parity items the reference lacks or keeps minimal)."""
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+import copra_tpu as ct
+from copra_tpu.checkpoint import (load_pytree, load_warm_start, save_pytree,
+                                  save_warm_start)
+from copra_tpu.profiling import log_metrics, solve_metrics, timed, trace_span
+
+from fixtures import (A, B, D, M, N_MAT, SMALL_N, SMALL_X0, UD, U_LOWER,
+                      U_UPPER, WU, WX, XD, X_LOWER, X_UPPER)
+
+
+def test_warm_start_checkpoint_roundtrip(tmp_path):
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.ControlBoundConstraint.create(U_LOWER, U_UPPER),)
+    res = ct.solve_mpc(system, costs, constraints)
+    sol = res.solution
+    warm = ct.WarmStart(x=sol.x, y=sol.y, z=sol.z)
+
+    path = os.path.join(tmp_path, "warm.npz")
+    save_warm_start(path, warm, tick=42, scenario="unit-test")
+    like = ct.WarmStart(x=jnp.zeros_like(sol.x), y=jnp.zeros_like(sol.y),
+                        z=jnp.zeros_like(sol.z))
+    restored, tick = load_warm_start(path, like)
+    assert tick == 42
+    np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(warm.x))
+    np.testing.assert_array_equal(np.asarray(restored.y), np.asarray(warm.y))
+
+    # resuming from the restored state reproduces the warm-started solve
+    r1 = ct.solve_mpc(system, costs, constraints, warm_start=warm)
+    r2 = ct.solve_mpc(system, costs, constraints, warm_start=restored)
+    np.testing.assert_array_equal(np.asarray(r1.control),
+                                  np.asarray(r2.control))
+
+
+def test_save_pytree_atomic_and_meta(tmp_path):
+    tree = {"a": jnp.arange(4.0), "b": (jnp.ones((2, 2)), jnp.zeros(3))}
+    path = os.path.join(tmp_path, "tree.npz")
+    save_pytree(path, tree, {"note": "x"})
+    like = {"a": jnp.zeros(4), "b": (jnp.zeros((2, 2)), jnp.zeros(3))}
+    restored, meta = load_pytree(path, like)
+    assert meta["note"] == "x"
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_solve_metrics_and_logging(caplog):
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    res = ct.solve_mpc(system, (ct.SimpleControlCost.create(
+        np.zeros(SMALL_N * 1)),))
+    box = {}
+    with timed(box, block_on=res.control):
+        _ = res.control
+    m = solve_metrics(res.solution, elapsed_s=box["seconds"])
+    assert m["batch"] == 1
+    assert m["converged"] == 1
+    assert m["solves_per_s"] > 0
+    with caplog.at_level(logging.INFO, logger="copra_tpu"):
+        log_metrics(m)
+    assert "convergence_rate" in caplog.text
+
+
+def test_trace_span_noop():
+    with trace_span("unit-test-span"):
+        x = jnp.ones(3) * 2
+    assert float(x.sum()) == 6.0

@@ -1,0 +1,109 @@
+"""Fused ADMM Pallas kernels vs the XLA reference path.
+
+Runs in interpreter mode on the CPU test mesh; the kernels' semantics must
+match ``solve_qp`` with ``early_exit=False`` bit-for-bit in structure (same
+update order), so agreement to f32-roundoff is the contract.  Real-chip
+performance is covered by bench.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import copra_tpu as ct
+from copra_tpu.ops import fused_admm_box, fused_admm_general
+from copra_tpu.qp.admm import stack_constraints
+
+
+def random_box_qps(batch, n, seed=0):
+    rng = np.random.default_rng(seed)
+    Ms = rng.normal(size=(batch, n, n))
+    Q = np.einsum("bij,bkj->bik", Ms, Ms) + n * np.eye(n)
+    c = rng.normal(size=(batch, n))
+    lb = rng.uniform(-2.0, -0.5, size=(batch, n))
+    ub = rng.uniform(0.5, 2.0, size=(batch, n))
+    return ct.DenseQP(
+        Q=jnp.asarray(Q), c=jnp.asarray(c),
+        Aeq=jnp.zeros((0, n)), beq=jnp.zeros((0,)),
+        Aineq=jnp.zeros((0, n)), bineq=jnp.zeros((0,)),
+        lb=jnp.asarray(lb), ub=jnp.asarray(ub))
+
+
+def test_fused_box_matches_xla_path():
+    batch, n, iters = 8, 16, 50
+    qp = random_box_qps(batch, n)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    ref = ct.solve_qp_batched(qp, opts)
+
+    sigma, rho, alpha = opts.sigma, opts.rho, opts.alpha
+    K = qp.Q + (sigma + rho) * jnp.eye(n)[None]
+    Kinv = jnp.linalg.inv(K)
+    zeros = jnp.zeros((batch, n))
+    x, y, z = fused_admm_box(
+        Kinv.astype(jnp.float32), qp.c.astype(jnp.float32),
+        qp.lb.astype(jnp.float32), qp.ub.astype(jnp.float32),
+        zeros.astype(jnp.float32), zeros.astype(jnp.float32),
+        zeros.astype(jnp.float32),
+        n_iter=iters, sigma=sigma, alpha=alpha, rho=rho, interpret=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_box_solution_quality():
+    """Against the exact native oracle, not just the XLA twin."""
+    from copra_tpu.qp.native import native_available, solve_qp_native
+    if not native_available():
+        pytest.skip("native solver unavailable")
+    batch, n, iters = 4, 12, 2000
+    qp = random_box_qps(batch, n, seed=3)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    K = qp.Q + (opts.sigma + opts.rho) * jnp.eye(n)[None]
+    Kinv = jnp.linalg.inv(K)
+    zeros = jnp.zeros((batch, n), jnp.float32)
+    x, _, _ = fused_admm_box(
+        Kinv.astype(jnp.float32), qp.c.astype(jnp.float32),
+        qp.lb.astype(jnp.float32), qp.ub.astype(jnp.float32),
+        zeros, zeros, zeros,
+        n_iter=iters, sigma=opts.sigma, alpha=opts.alpha, rho=opts.rho,
+        interpret=True)
+    for b in range(batch):
+        one = ct.DenseQP.create(qp.Q[b], qp.c[b], lb=qp.lb[b], ub=qp.ub[b])
+        ref = solve_qp_native(one)
+        np.testing.assert_allclose(np.asarray(x[b]), np.asarray(ref.x),
+                                   atol=5e-4)
+
+
+def test_fused_general_matches_xla_path():
+    batch, n, iters = 4, 10, 60
+    rng = np.random.default_rng(1)
+    base = random_box_qps(batch, n, seed=2)
+    mi = 6
+    Aineq = rng.normal(size=(batch, mi, n))
+    bineq = rng.uniform(0.5, 1.5, size=(batch, mi))
+    qp = ct.DenseQP(Q=base.Q, c=base.c,
+                    Aeq=jnp.zeros((batch, 0, n)), beq=jnp.zeros((batch, 0)),
+                    Aineq=jnp.asarray(Aineq), bineq=jnp.asarray(bineq),
+                    lb=base.lb, ub=base.ub)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    ref = ct.solve_qp_batched(qp, opts)
+
+    def prep(q):
+        C, l, u, rho = stack_constraints(q, opts)
+        K = (q.Q + opts.sigma * jnp.eye(n) + (C.T * rho) @ C)
+        return C, l, u, rho, jnp.linalg.inv(K)
+
+    C, l, u, rho, Kinv = jax.vmap(prep)(qp)
+    m = C.shape[1]
+    zn = jnp.zeros((batch, n), jnp.float32)
+    zm = jnp.zeros((batch, m), jnp.float32)
+    x, y, z = fused_admm_general(
+        Kinv.astype(jnp.float32), C.astype(jnp.float32),
+        qp.c.astype(jnp.float32), l.astype(jnp.float32),
+        u.astype(jnp.float32), rho.astype(jnp.float32),
+        zn, zm, zm,
+        n_iter=iters, sigma=opts.sigma, alpha=opts.alpha, interpret=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               rtol=1e-4, atol=1e-4)

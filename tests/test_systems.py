@@ -115,3 +115,29 @@ def test_system_dimension_errors():
         ct.LTVSystem.create(As[:5], Bs, Ds, SMALL_X0)
     with pytest.raises(ct.DimensionError):
         ct.LTVSystem.create(As, Bs, Ds[:, :1], SMALL_X0)
+
+
+def test_condense_assoc_matches_scan():
+    """The O(log N)-depth associative-scan path must agree with the serial
+    scan (and hence the numpy oracle) for both system kinds, including
+    non-power-of-two horizons."""
+    for n in (1, 2, 7, 13):
+        p1 = ct.condense_lti(A, B, D, n)
+        p2 = ct.condense_lti_assoc(A, B, D, n)
+        np.testing.assert_allclose(p1.Phi, p2.Phi, atol=1e-12)
+        np.testing.assert_allclose(p1.Psi, p2.Psi, atol=1e-12)
+        np.testing.assert_allclose(p1.xi, p2.xi, atol=1e-12)
+        As, Bs, Ds = ltv_matrices(max(n, 2))
+        As, Bs, Ds = As[:n], Bs[:n], Ds[:n]
+        q1 = ct.condense_ltv(As, Bs, Ds)
+        q2 = ct.condense_ltv_assoc(As, Bs, Ds)
+        np.testing.assert_allclose(q1.Psi, q2.Psi, atol=1e-12)
+        np.testing.assert_allclose(q1.Phi, q2.Phi, atol=1e-12)
+        np.testing.assert_allclose(q1.xi, q2.xi, atol=1e-12)
+
+
+def test_condense_method_dispatch():
+    sys_ = ct.LTISystem.create(A, B, D, SMALL_X0, 7)
+    p1 = ct.condense(sys_, method="scan")
+    p2 = ct.condense(sys_, method="assoc")
+    np.testing.assert_allclose(p1.Psi, p2.Psi, atol=1e-12)
