@@ -19,6 +19,8 @@ from .errors import (CopraError, DimensionError, InitializationError,
                      SolverError)
 from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
 from .qp.admm import solve_qp, solve_qp_batched
+from .qp.riccati import (StagewiseQP, lqr_solve, solve_mpc_stagewise,
+                         solve_stagewise)
 from .qp.registry import (available_solvers, get_solver, register_solver)
 from .qp.types import (DenseQP, QPSolution, SolverOptions, WarmStart,
                        STATUS_MAX_ITER, STATUS_SOLVED)
@@ -42,6 +44,7 @@ __all__ = [
     "STATUS_SOLVED", "STATUS_MAX_ITER",
     "solve_qp", "solve_qp_batched", "register_solver", "get_solver",
     "available_solvers",
+    "StagewiseQP", "lqr_solve", "solve_stagewise", "solve_mpc_stagewise",
     "span_matrix", "span_vector",
     "CopraError", "DimensionError", "InitializationError", "SolverError",
 ]
