@@ -1,0 +1,95 @@
+"""Scaling-efficiency harness: weak scaling of the sharded MPC step.
+
+BASELINE.md asks for >85% multi-host scaling efficiency measured at 1 chip,
+1 host, and >=2 hosts.  This harness measures weak-scaling efficiency over
+however many devices are visible (real chips on hardware;
+``--xla_force_host_platform_device_count=K JAX_PLATFORMS=cpu`` for a
+virtual mesh), keeping the per-device scenario count fixed and reporting
+throughput per device vs the 1-device run.  On multi-host pods, run one
+process per host after ``copra_tpu.parallel.distributed_init()`` — the same
+code path, same mesh construction.
+
+Prints one JSON line per mesh size plus a final efficiency summary.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.parallel import (batch_axes, make_mesh,
+                                    make_sharded_mpc_step, shard_batch)
+
+    per_device = int(os.environ.get("BENCH_PER_DEVICE", 512))
+    horizon = int(os.environ.get("BENCH_HORIZON", 50))
+    iters = int(os.environ.get("BENCH_ITERS", 60))
+    steps = int(os.environ.get("BENCH_STEPS", 3))
+
+    T, mass = 0.005, 5.0
+    A = np.array([[1.0, T], [0.0, 1.0]])
+    B = np.array([[0.5 * T * T / mass], [T / mass]])
+    d = np.array([-9.81 / 2.0 * T * T, -9.81 * T])
+    costs = (ct.TargetCost.create(np.eye(2), [0.0, -1.0],
+                                  weights=[10.0, 1e4]),
+             ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
+    constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
+
+    def fleet(batch):
+        rng = np.random.default_rng(0)
+        As = np.repeat(np.repeat(A[None], horizon, 0)[None], batch, 0)
+        As += rng.normal(scale=1e-4, size=As.shape)
+        return ct.LTVSystem(
+            A=jnp.asarray(As, jnp.float32),
+            B=jnp.asarray(np.repeat(np.repeat(B[None], horizon, 0)[None],
+                                    batch, 0), jnp.float32),
+            d=jnp.asarray(np.repeat(np.repeat(d[None], horizon, 0)[None],
+                                    batch, 0), jnp.float32),
+            x0=jnp.asarray(np.array([0.0, -1.5]) + rng.normal(
+                scale=[0.02, 0.1], size=(batch, 2)), jnp.float32))
+
+    all_devices = jax.devices()
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(all_devices)]
+    results = {}
+    for nd in sizes:
+        mesh = make_mesh(devices=all_devices[:nd])
+        batch = per_device * nd
+        system = fleet(batch)
+        system = shard_batch(system, mesh, reference=batch_axes(system))
+        step = make_sharded_mpc_step(
+            mesh, costs, constraints,
+            ct.SolverOptions(max_iter=iters))
+        res, _ = step(system, None)
+        jax.block_until_ready(res.control)
+        warm = ct.WarmStart(x=res.solution.x, y=res.solution.y,
+                            z=res.solution.z)
+        res, _ = step(system, warm)
+        jax.block_until_ready(res.control)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            res, _ = step(system, warm)
+        jax.block_until_ready(res.control)
+        dt = (time.perf_counter() - t0) / steps
+        thr = batch / dt
+        results[nd] = thr
+        print(json.dumps({"devices": nd, "batch": batch,
+                          "solves_per_s": round(thr, 1),
+                          "per_device": round(thr / nd, 1)}))
+
+    base = results[sizes[0]] / sizes[0]
+    eff = {nd: results[nd] / (nd * base) for nd in sizes}
+    print(json.dumps({
+        "metric": "weak-scaling efficiency (per-device throughput vs "
+                  "1-device)",
+        "efficiency": {str(k): round(v, 3) for k, v in eff.items()},
+        "min_efficiency": round(min(eff.values()), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,8 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .types import (STATUS_MAX_ITER, STATUS_SOLVED, DenseQP, QPSolution,
-                    SolverOptions, WarmStart)
+from .types import (STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER,
+                    STATUS_PRIMAL_INFEASIBLE, STATUS_SOLVED, DenseQP,
+                    QPSolution, SolverOptions, WarmStart)
 
 Array = jax.Array
 
@@ -300,26 +301,59 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
             jnp.maximum(_inf_norm(Qx), _inf_norm(CTy)), c_norm)
         return r_prim, r_dual, (r_prim <= eps_prim) & (r_dual <= eps_dual)
 
+    def infeasibility(dx, dy):
+        """OSQP-style certificates from the iterate deltas (computed in the
+        solve space).  Returns a status code: 0 none, 2 primal-inf, 3
+        dual-inf."""
+        dy_n = _inf_norm(dy)
+        dx_n = _inf_norm(dx)
+        eps_p = 1e-4 * jnp.maximum(dy_n, 1e-30)
+        eps_d = 1e-4 * jnp.maximum(dx_n, 1e-30)
+        # primal: C^T dy ~ 0 and support function u'dy+ + l'dy- < 0
+        support = (jnp.sum(jnp.where(dy > 0, us, 0.0) * dy)
+                   + jnp.sum(jnp.where(dy < 0, ls, 0.0) * dy))
+        prim_inf = ((_inf_norm(CT_mv(dy)) <= eps_p) & (support <= -eps_p)
+                    & (dy_n > 1e-30))
+        # dual: Q dx ~ 0, c'dx < 0, C dx in the recession cone
+        Cdx = C_mv(dx)
+        cone_ok = jnp.all(jnp.where(jnp.isfinite(us), Cdx <= eps_d, True)
+                          & jnp.where(jnp.isfinite(ls), Cdx >= -eps_d, True))
+        dual_inf = ((_inf_norm(Qs @ dx) <= eps_d)
+                    & (jnp.dot(cs, dx) <= -eps_d) & cone_ok
+                    & (dx_n > 1e-30))
+        return jnp.where(prim_inf, STATUS_PRIMAL_INFEASIBLE,
+                         jnp.where(dual_inf, STATUS_DUAL_INFEASIBLE,
+                                   0)).astype(jnp.int32)
+
     if options.early_exit:
         def cond(state):
-            _, _, _, i, done = state
+            _, _, _, _, _, i, done, _ = state
             return (~done) & (i < options.max_iter)
 
         def body(state):
-            x, z, y, i, _ = state
+            x, z, y, x_chk, y_chk, i, _, code = state
             x, z, y = one_iter(x, z, y)
             i = i + 1
             check = (i % options.check_interval == 0) | (i >= options.max_iter)
 
             def with_check(_):
                 _, _, conv = residuals(x, z, y)
-                return conv
+                if options.infeasibility_detection:
+                    infeas = infeasibility(x - x_chk, y - y_chk)
+                else:
+                    infeas = jnp.zeros((), jnp.int32)
+                return conv | (infeas > 0), infeas
 
-            done = lax.cond(check, with_check, lambda _: False, None)
-            return (x, z, y, i, done)
+            done, code_new = lax.cond(
+                check, with_check,
+                lambda _: (False, jnp.zeros((), jnp.int32)), None)
+            x_chk = jnp.where(check, x, x_chk)
+            y_chk = jnp.where(check, y, y_chk)
+            return (x, z, y, x_chk, y_chk, i, done, code_new)
 
-        x, z, y, iters, _ = lax.while_loop(
-            cond, body, (x0, z0, y0, jnp.zeros((), jnp.int32), False))
+        x, z, y, _, _, iters, _, infeas_code = lax.while_loop(
+            cond, body, (x0, z0, y0, x0, y0, jnp.zeros((), jnp.int32),
+                         False, jnp.zeros((), jnp.int32)))
     else:
         def body(i, state):
             x, z, y = state
@@ -327,6 +361,7 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
 
         x, z, y = lax.fori_loop(0, options.max_iter, body, (x0, z0, y0))
         iters = jnp.asarray(options.max_iter, jnp.int32)
+        infeas_code = jnp.zeros((), jnp.int32)
 
     # back to the unscaled space
     x = D * x
@@ -351,6 +386,7 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
 
     r_prim, r_dual, conv = residuals_unscaled(x, z, y)
     status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
+    status = jnp.where(infeas_code > 0, infeas_code, status)
     return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,
                       primal_residual=r_prim, dual_residual=r_dual)
 

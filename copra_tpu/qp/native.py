@@ -77,6 +77,12 @@ def solve_qp_native(qp: DenseQP, options: SolverOptions = SolverOptions(),
     if Q.ndim != 2:
         raise SolverError("native solver is single-QP; vmap is not "
                           "supported — loop on host or use 'admm'.")
+    n_check = Q.shape[0]
+    for name, v in (("c", qp.c), ("lb", qp.lb), ("ub", qp.ub)):
+        if np.asarray(v).shape != (n_check,):
+            raise SolverError(
+                f"native solver needs 1-D '{name}' of length {n_check}, got "
+                f"shape {np.asarray(v).shape} (batched QPs: index one lane).")
     Aeq = np.ascontiguousarray(np.asarray(qp.Aeq, np.float64))
     beq = np.ascontiguousarray(np.asarray(qp.beq, np.float64))
     Aineq = np.ascontiguousarray(np.asarray(qp.Aineq, np.float64))

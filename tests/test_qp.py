@@ -149,3 +149,28 @@ def test_fixed_iteration_mode():
 def test_unknown_solver_raises():
     with pytest.raises(ct.SolverError):
         ct.get_solver("nope")
+
+
+def test_primal_infeasible_detection():
+    """Contradictory equality + bounds -> primal-infeasible certificate
+    (SURVEY.md §5 failure-detection parity: per-scenario status codes)."""
+    n = 4
+    qp = ct.DenseQP.create(
+        np.eye(n), np.zeros(n),
+        Aeq=np.array([[1.0, 0, 0, 0]]), beq=np.array([10.0]),
+        lb=np.zeros(n), ub=np.ones(n))      # x0 <= 1 but x0 must equal 10
+    sol = ct.solve_qp(qp, ct.SolverOptions(max_iter=4000))
+    assert int(sol.status) in (ct.STATUS_MAX_ITER, 2)
+    # must NOT report solved
+    assert int(sol.status) != ct.STATUS_SOLVED
+
+
+def test_dual_infeasible_unbounded_below():
+    """Unbounded linear direction -> not 'solved'."""
+    n = 3
+    Q = np.zeros((n, n))
+    Q[0, 0] = 1.0                            # flat in x1,x2
+    qp = ct.DenseQP.create(Q + 1e-12 * np.eye(n),
+                           np.array([0.0, -1.0, 0.0]))
+    sol = ct.solve_qp(qp, ct.SolverOptions(max_iter=2000, polish=False))
+    assert int(sol.status) != ct.STATUS_SOLVED
