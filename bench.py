@@ -51,13 +51,27 @@ def main():
              ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
     constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
 
-    @jax.jit
-    def step(sys_b, warm):
-        res = solve_mpc_batch(sys_b, costs, constraints, opts,
-                              warm_start=warm)
-        sol = res.solution
-        return res.control, ct.WarmStart(x=sol.x, y=sol.y, z=sol.z)
+    if fused:
+        from copra_tpu.ops.admm_kernel import solve_qp_batched_fused
+        from copra_tpu.systems import condense_ltv
+
+        @jax.jit
+        def step(sys_b, warm):
+            prev = jax.vmap(condense_ltv)(sys_b.A, sys_b.B, sys_b.d)
+            qp = jax.vmap(
+                lambda p, x0: ct.build_qp(p, x0, costs, constraints))(
+                    prev, sys_b.x0)
+            sol = solve_qp_batched_fused(qp, opts, warm)
+            return sol.x, ct.WarmStart(x=sol.x, y=sol.y, z=sol.z)
+    else:
+        @jax.jit
+        def step(sys_b, warm):
+            res = solve_mpc_batch(sys_b, costs, constraints, opts,
+                                  warm_start=warm)
+            sol = res.solution
+            return res.control, ct.WarmStart(x=sol.x, y=sol.y, z=sol.z)
 
     # warmup: compile + settle the warm start
     u, warm = step(system, None)

@@ -36,7 +36,8 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
     rho_inv = 1.0 / rho
     one_minus_alpha = 1.0 - alpha
 
-    for j in range(sb):  # unrolled over the sub-batch
+    def scenario(j, _):
+        # dynamic ref indexing keeps the kernel HLO O(1) in sub-batch size
         Kinv = kinv_ref[j]          # [n, n]
         c = c_ref[j][None, :]       # [1, n]
         l = l_ref[j][None, :]
@@ -59,6 +60,9 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
         x_ref[j, :] = x[0]
         z_ref[j, :] = z[0]
         y_ref[j, :] = y[0]
+        return 0
+
+    lax.fori_loop(0, sb, scenario, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
@@ -110,7 +114,7 @@ def _general_kernel(n_iter: int, sigma: float, alpha: float,
     sb = cvec_ref.shape[0]
     one_minus_alpha = 1.0 - alpha
 
-    for j in range(sb):
+    def scenario(j, _):
         Kinv = kinv_ref[j]              # [n, n]
         C = cmat_ref[j]                 # [m, n]
         c = cvec_ref[j][None, :]        # [1, n]
@@ -145,6 +149,9 @@ def _general_kernel(n_iter: int, sigma: float, alpha: float,
         x_ref[j, :] = x[0]
         z_ref[j, :] = z[0]
         y_ref[j, :] = y[0]
+        return 0
+
+    lax.fori_loop(0, sb, scenario, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
@@ -187,3 +194,89 @@ def fused_admm_general(Kinv: Array, C: Array, c: Array,
         interpret=interpret,
     )(Kinv, C, c, l, u, rho, x0, y0, z0)
     return out
+
+
+def solve_qp_batched_fused(qp, options=None, warm_start=None,
+                           interpret=None):
+    """Batched box-only QP solve through the fused kernel.
+
+    Drop-in for ``solve_qp_batched`` when the QPs have no eq/ineq rows,
+    ``early_exit=False`` semantics are acceptable, and f32 is the compute
+    dtype — the production receding-horizon configuration.  Residuals,
+    status, and (optional) polish run vectorized outside the kernel.
+    ``interpret`` defaults to True off-TPU (Pallas interpreter).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    from ..qp.admm import _polish, stack_constraints
+    from ..qp.types import (STATUS_MAX_ITER, STATUS_SOLVED, QPSolution,
+                            SolverOptions)
+
+    options = options or SolverOptions()
+    if qp.nr_eq or qp.nr_ineq:
+        raise ValueError("fused batched path is box-only; use solve_qp_"
+                         "batched for general constraint rows.")
+    Q = qp.Q
+    if Q.ndim != 3:
+        raise ValueError("expected a batched QP (Q of rank 3).")
+    B, n, _ = Q.shape
+    dt = jnp.float32
+    c = jnp.broadcast_to(qp.c, (B, n)).astype(dt)
+    lb = jnp.broadcast_to(qp.lb, (B, n)).astype(dt)
+    ub = jnp.broadcast_to(qp.ub, (B, n)).astype(dt)
+
+    sigma, rho, alpha = options.sigma, options.rho, options.alpha
+    K = Q.astype(dt) + (sigma + rho) * jnp.eye(n, dtype=dt)[None]
+    # symmetric Jacobi preconditioning, as in the XLA path
+    S = 1.0 / jnp.sqrt(jnp.diagonal(K, axis1=1, axis2=2))
+    Ks = K * S[:, :, None] * S[:, None, :]
+    Ls = jnp.linalg.cholesky(Ks)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), (B, n, n))
+    Lsi = lax.linalg.triangular_solve(Ls, eye, left_side=True, lower=True)
+    Kinv = (jnp.einsum("bji,bjk->bik", Lsi, Lsi)
+            * S[:, :, None] * S[:, None, :])
+
+    if warm_start is not None:
+        x0 = warm_start.x.astype(dt)
+        y0 = warm_start.y.astype(dt)
+        z0 = warm_start.z.astype(dt)
+    else:
+        x0 = jnp.zeros((B, n), dt)
+        y0 = jnp.zeros((B, n), dt)
+        z0 = jnp.zeros((B, n), dt)
+
+    x, y, z = fused_admm_box(
+        Kinv, c, lb, ub, x0, y0, z0,
+        n_iter=options.max_iter, sigma=sigma, alpha=alpha, rho=rho,
+        sub_batch=32, interpret=interpret)
+
+    if options.polish:
+        def pol(qb, cb, lbb, ubb, xb, yb, zb):
+            from ..qp.types import DenseQP
+            one = DenseQP(Q=qb, c=cb, Aeq=jnp.zeros((0, n), dt),
+                          beq=jnp.zeros((0,), dt),
+                          Aineq=jnp.zeros((0, n), dt),
+                          bineq=jnp.zeros((0,), dt), lb=lbb, ub=ubb)
+            C = jnp.eye(n, dtype=dt)
+            xp, yp = _polish(one, C, lbb, ubb, xb, yb, zb, options)
+            return xp, yp
+
+        x, y = jax.vmap(pol)(Q.astype(dt), c, lb, ub, x, y, z)
+        z = jnp.clip(x, lb, ub)
+
+    # unscaled residuals (C = I)
+    r_prim = jnp.max(jnp.abs(x - z), axis=-1)
+    grad = jnp.einsum("bij,bj->bi", Q.astype(dt), x) + c + y
+    r_dual = jnp.max(jnp.abs(grad), axis=-1)
+    eps_floor = 25.0 * float(jnp.finfo(dt).eps)
+    eps_abs = max(options.eps_abs, eps_floor)
+    eps_rel = max(options.eps_rel, eps_floor)
+    scale_p = jnp.maximum(jnp.max(jnp.abs(x), axis=-1),
+                          jnp.max(jnp.abs(z), axis=-1))
+    conv = (r_prim <= eps_abs + eps_rel * scale_p) \
+        & (r_dual <= eps_abs + eps_rel * jnp.max(jnp.abs(grad), axis=-1)
+           + eps_rel * jnp.max(jnp.abs(c), axis=-1) + eps_abs)
+    status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
+    iters = jnp.full((B,), options.max_iter, jnp.int32)
+    return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,
+                      primal_residual=r_prim, dual_residual=r_dual)

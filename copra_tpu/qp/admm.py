@@ -218,44 +218,63 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
         cdiag = E * D
         C_mv = lambda v: cdiag * v
         CT_mv = lambda v: cdiag * v
-        K = Qs + sigma * jnp.eye(n, dtype=dt) + jnp.diag(rho * cdiag * cdiag)
     else:
         C_mv = lambda v: Cs @ v
         CT_mv = lambda v: Cs.T @ v
-        K = Qs + sigma * jnp.eye(n, dtype=dt) + (Cs.T * rho) @ Cs
-    L = jnp.linalg.cholesky(K)
+
     kkt = options.kkt_solve
     if kkt == "auto":
         # explicit inverse turns every iteration's KKT solve into one
         # MXU-friendly matvec; triangular solves are the better numerics
         # on CPU f64
         kkt = "chol" if jax.default_backend() == "cpu" else "inverse"
-    if kkt == "inverse":
-        # Symmetric Jacobi preconditioning of the inversion: K^-1 =
-        # S (S K S)^-1 S with S = diag(K)^-1/2 — mathematically the
-        # identity, numerically what keeps the explicit inverse usable in
-        # f32 when cost weights span 1e-6..1e4 (SURVEY.md §7.3 item 2).
-        S = 1.0 / jnp.sqrt(jnp.diagonal(K))
-        Ks = K * S[:, None] * S[None, :]
-        Ls = jnp.linalg.cholesky(Ks)
-        eye = jnp.eye(n, dtype=dt)
-        Lsi = lax.linalg.triangular_solve(Ls, eye, left_side=True, lower=True)
-        Kinv = (Lsi.T @ Lsi) * S[:, None] * S[None, :]
-        refine = options.kkt_refine
-        if refine < 0:  # auto: refine in f32, direct in f64
-            refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
+    refine = options.kkt_refine
+    if refine < 0:  # auto: refine in f32, direct in f64
+        refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
 
-        def kkt_solve(rhs):
-            x = Kinv @ rhs
-            for _ in range(refine):
-                x = x + Kinv @ (rhs - K @ x)
-            return x
-    else:
-        def kkt_solve(rhs):
-            return lax.linalg.triangular_solve(
-                L, lax.linalg.triangular_solve(
-                    L, rhs[:, None], left_side=True, lower=True),
-                left_side=True, lower=True, transpose_a=True)[:, 0]
+    def build_K(rho_vec):
+        if box_only:
+            return (Qs + sigma * jnp.eye(n, dtype=dt)
+                    + jnp.diag(rho_vec * cdiag * cdiag))
+        return Qs + sigma * jnp.eye(n, dtype=dt) + (Cs.T * rho_vec) @ Cs
+
+    def factorize(rho_vec):
+        """KKT operator for the x-update at the given penalties.
+
+        'inverse': symmetric-Jacobi-preconditioned explicit inverse — the
+        preconditioning is mathematically the identity but keeps f32 usable
+        when cost weights span 1e-6..1e4 (SURVEY.md §7.3 item 2).
+        """
+        K = build_K(rho_vec)
+        if kkt == "inverse":
+            S = 1.0 / jnp.sqrt(jnp.diagonal(K))
+            Ks = K * S[:, None] * S[None, :]
+            Ls = jnp.linalg.cholesky(Ks)
+            eye = jnp.eye(n, dtype=dt)
+            Lsi = lax.linalg.triangular_solve(Ls, eye, left_side=True,
+                                              lower=True)
+            Kinv = (Lsi.T @ Lsi) * S[:, None] * S[None, :]
+            return (Kinv, K)
+        return (jnp.linalg.cholesky(K), K)
+
+    def make_kkt_solve(fac):
+        op, K = fac
+        if kkt == "inverse":
+            def kkt_solve(rhs):
+                x = op @ rhs
+                for _ in range(refine):
+                    x = x + op @ (rhs - K @ x)
+                return x
+        else:
+            def kkt_solve(rhs):
+                return lax.linalg.triangular_solve(
+                    op, lax.linalg.triangular_solve(
+                        op, rhs[:, None], left_side=True, lower=True),
+                    left_side=True, lower=True, transpose_a=True)[:, 0]
+        return kkt_solve
+
+    fac0 = factorize(rho)
+    kkt_solve = make_kkt_solve(fac0)
 
     if warm_start is not None:
         # incoming warm start is in the unscaled space
@@ -275,15 +294,18 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
     c_norm = _inf_norm(qp.c)
     cost_inv = 1.0 / cost_s
 
-    def one_iter(x, z, y):
-        rhs = sigma * x - cs + CT_mv(rho * z - y)
-        x_t = kkt_solve(rhs)
+    def one_iter_at(x, z, y, rho_vec, rho_inv_vec, solve_fn):
+        rhs = sigma * x - cs + CT_mv(rho_vec * z - y)
+        x_t = solve_fn(rhs)
         z_t = C_mv(x_t)
         x_n = alpha * x_t + (1 - alpha) * x
         z_rel = alpha * z_t + (1 - alpha) * z
-        z_n = jnp.clip(z_rel + rho_inv * y, ls, us)
-        y_n = y + rho * (z_rel - z_n)
+        z_n = jnp.clip(z_rel + rho_inv_vec * y, ls, us)
+        y_n = y + rho_vec * (z_rel - z_n)
         return x_n, z_n, y_n
+
+    def one_iter(x, z, y):
+        return one_iter_at(x, z, y, rho, rho_inv, kkt_solve)
 
     def residuals(x, z, y):
         # unscaled residuals (OSQP convention): primal via E^-1, dual via
@@ -307,31 +329,103 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
         dual-inf."""
         dy_n = _inf_norm(dy)
         dx_n = _inf_norm(dx)
-        eps_p = 1e-4 * jnp.maximum(dy_n, 1e-30)
-        eps_d = 1e-4 * jnp.maximum(dx_n, 1e-30)
+        # thresholds chosen from the measured separation between feasible
+        # ADMM transients (|C'dy|/|dy| >~ 1e-5, support >~ -1e-6|dy|) and
+        # true certificates (|C'dy|/|dy| ~ 1e-13, support ~ -10|dy|)
+        eps_p = 1e-6 * jnp.maximum(dy_n, 1e-30)
+        sup_p = 1e-3 * jnp.maximum(dy_n, 1e-30)
+        eps_d = 1e-6 * jnp.maximum(dx_n, 1e-30)
         # primal: C^T dy ~ 0 and support function u'dy+ + l'dy- < 0
         support = (jnp.sum(jnp.where(dy > 0, us, 0.0) * dy)
                    + jnp.sum(jnp.where(dy < 0, ls, 0.0) * dy))
-        prim_inf = ((_inf_norm(CT_mv(dy)) <= eps_p) & (support <= -eps_p)
+        prim_inf = ((_inf_norm(CT_mv(dy)) <= eps_p) & (support <= -sup_p)
                     & (dy_n > 1e-30))
         # dual: Q dx ~ 0, c'dx < 0, C dx in the recession cone
         Cdx = C_mv(dx)
         cone_ok = jnp.all(jnp.where(jnp.isfinite(us), Cdx <= eps_d, True)
                           & jnp.where(jnp.isfinite(ls), Cdx >= -eps_d, True))
         dual_inf = ((_inf_norm(Qs @ dx) <= eps_d)
-                    & (jnp.dot(cs, dx) <= -eps_d) & cone_ok
+                    & (jnp.dot(cs, dx) <= -1e-3 * dx_n) & cone_ok
                     & (dx_n > 1e-30))
         return jnp.where(prim_inf, STATUS_PRIMAL_INFEASIBLE,
                          jnp.where(dual_inf, STATUS_DUAL_INFEASIBLE,
                                    0)).astype(jnp.int32)
 
-    if options.early_exit:
+    if options.early_exit and options.adaptive_rho:
+        # Chunked solve with OSQP-style rho adaptation: run
+        # ``rho_update_interval`` iterations, check residuals, rescale rho
+        # from the primal/dual residual ratio and refactorize.  One trace of
+        # the factorization is reused for every chunk; converged problems
+        # exit the while loop (vmapped lanes freeze individually).
+        chunk = options.rho_update_interval
+        big = jnp.asarray(jnp.finfo(dt).max / 4, dt)
+
+        def chunk_cond(carry):
+            done, iters = carry[4], carry[5]
+            return (~done) & (iters < options.max_iter)
+
+        def chunk_body(carry):
+            (x, z, y, scale, done, iters, code, pend,
+             prev_metric, prev_scale, can_adapt) = carry
+            rho_c = rho * scale
+            solve_fn = make_kkt_solve(factorize(rho_c))
+            rho_inv_c = 1.0 / rho_c
+
+            def body(_, st):
+                return one_iter_at(*st, rho_c, rho_inv_c, solve_fn)
+
+            x_n, z_n, y_n = lax.fori_loop(0, chunk, body, (x, z, y))
+            r_prim, r_dual, conv = residuals(x_n, z_n, y_n)
+            if options.infeasibility_detection:
+                # single-iteration deltas are the certificate directions
+                x_e, _, y_e = one_iter_at(x_n, z_n, y_n, rho_c, rho_inv_c,
+                                          solve_fn)
+                infeas = infeasibility(x_e - x_n, y_e - y_n)
+            else:
+                infeas = jnp.zeros((), jnp.int32)
+            # normalized residual ratio -> rho rescale (OSQP §5.2), with a
+            # self-guard: if the previous rescale made the worst normalized
+            # residual worse, revert it and stop adapting
+            Cx = E_inv * C_mv(x_n)
+            p_norm = jnp.maximum(jnp.maximum(_inf_norm(Cx),
+                                             _inf_norm(E_inv * z_n)), 1e-12)
+            Qx = D_inv * (Qs @ x_n) * cost_inv
+            CTy = D_inv * CT_mv(y_n) * cost_inv
+            d_norm = jnp.maximum(jnp.maximum(_inf_norm(Qx), _inf_norm(CTy)),
+                                 jnp.maximum(c_norm, 1e-12))
+            rp_rel = r_prim / p_norm
+            rd_rel = r_dual / d_norm
+            metric = jnp.maximum(rp_rel, rd_rel)
+            regressed = (metric > prev_metric) & (scale != prev_scale)
+            scale_eff = jnp.where(regressed, prev_scale, scale)
+            can_adapt = can_adapt & ~regressed
+            ratio = jnp.sqrt(rp_rel / jnp.maximum(rd_rel, 1e-30))
+            ratio = jnp.clip(ratio, 0.1, 10.0)
+            want = (ratio > 5.0) | (ratio < 0.2)
+            new_scale = jnp.where(can_adapt & want,
+                                  jnp.clip(scale_eff * ratio, 1e-6, 1e6),
+                                  scale_eff)
+            # infeasibility must persist across two consecutive checks
+            confirmed = jnp.where((infeas > 0) & (infeas == pend), infeas, 0)
+            return (x_n, z_n, y_n, new_scale,
+                    done | conv | (confirmed > 0),
+                    iters + jnp.asarray(chunk, jnp.int32),
+                    jnp.maximum(code, confirmed), infeas,
+                    jnp.minimum(metric, prev_metric), scale_eff, can_adapt)
+
+        init = (x0, z0, y0, jnp.ones((), dt), jnp.asarray(False),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32),
+                big, jnp.ones((), dt), jnp.asarray(True))
+        out = lax.while_loop(chunk_cond, chunk_body, init)
+        x, z, y, iters, infeas_code = out[0], out[1], out[2], out[5], out[6]
+    elif options.early_exit:
         def cond(state):
-            _, _, _, _, _, i, done, _ = state
+            _, _, _, i, done, _, _ = state
             return (~done) & (i < options.max_iter)
 
         def body(state):
-            x, z, y, x_chk, y_chk, i, _, code = state
+            x, z, y, i, _, code, pend = state
             x, z, y = one_iter(x, z, y)
             i = i + 1
             check = (i % options.check_interval == 0) | (i >= options.max_iter)
@@ -339,21 +433,24 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
             def with_check(_):
                 _, _, conv = residuals(x, z, y)
                 if options.infeasibility_detection:
-                    infeas = infeasibility(x - x_chk, y - y_chk)
+                    # single-iteration deltas as certificate directions
+                    x_e, _, y_e = one_iter(x, z, y)
+                    infeas = infeasibility(x_e - x, y_e - y)
                 else:
                     infeas = jnp.zeros((), jnp.int32)
-                return conv | (infeas > 0), infeas
+                confirmed = jnp.where((infeas > 0) & (infeas == pend),
+                                      infeas, 0)
+                return conv | (confirmed > 0), confirmed, infeas
 
-            done, code_new = lax.cond(
+            done, code_new, pend_new = lax.cond(
                 check, with_check,
-                lambda _: (False, jnp.zeros((), jnp.int32)), None)
-            x_chk = jnp.where(check, x, x_chk)
-            y_chk = jnp.where(check, y, y_chk)
-            return (x, z, y, x_chk, y_chk, i, done, code_new)
+                lambda _: (False, jnp.zeros((), jnp.int32), pend), None)
+            return (x, z, y, i, done, jnp.maximum(code, code_new), pend_new)
 
-        x, z, y, _, _, iters, _, infeas_code = lax.while_loop(
-            cond, body, (x0, z0, y0, x0, y0, jnp.zeros((), jnp.int32),
-                         False, jnp.zeros((), jnp.int32)))
+        x, z, y, iters, _, infeas_code, _ = lax.while_loop(
+            cond, body, (x0, z0, y0, jnp.zeros((), jnp.int32),
+                         False, jnp.zeros((), jnp.int32),
+                         jnp.zeros((), jnp.int32)))
     else:
         def body(i, state):
             x, z, y = state

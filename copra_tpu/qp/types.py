@@ -137,6 +137,9 @@ class SolverOptions:
     sigma: float = 1e-6
     alpha: float = 1.6            # over-relaxation
     check_interval: int = 10      # residual-check cadence inside while_loop
+    adaptive_rho: bool = True     # OSQP-style rho adaptation (early_exit
+    #                               path only; refactorizes per update)
+    rho_update_interval: int = 50  # iterations between rho updates
     polish: bool = True           # active-set KKT polish after ADMM
     polish_delta: float = 1e-10   # floored at 100*machine_eps per dtype
     polish_refine_steps: int = 3

@@ -24,9 +24,11 @@ from fixtures import (A, B, D, EQ_E, EQ_P, EQ_X0, INEQ_E, INEQ_G, INEQ_H,
 
 N_STEP = 100
 X0 = np.array([0.0, -5.0])
-# eps at the reference's constraint-satisfaction tolerance (1e-6); the
-# physics assertions below are the real oracle.
-OPTS = ct.SolverOptions(max_iter=4000, eps_abs=1e-6, eps_rel=1e-6)
+# the reference contract is ABSOLUTE constraint satisfaction (1e-6), so
+# run with eps_rel=0 — the relative OSQP criterion would exit while the
+# worst row still violates by ~eps_rel*|bound|; the physics assertions
+# below are the real oracle.
+OPTS = ct.SolverOptions(max_iter=4000, eps_abs=1e-7, eps_rel=0.0)
 
 
 def _split(X):
@@ -135,7 +137,12 @@ def test_bounded_system_n300_canary():
     costs = [x_cost_of("target"), u_cost_of("target")]
     constraints = [ct.TrajectoryBoundConstraint.create(X_LOWER, X_UPPER),
                    ct.ControlBoundConstraint.create(U_LOWER, U_UPPER)]
-    res = solve(system, costs, constraints)
+    res = ct.solve_mpc(system, costs, constraints,
+                       ct.SolverOptions(max_iter=8000, eps_abs=1e-7,
+                                        eps_rel=0.0))
+    assert int(jnp.max(res.solution.status)) == ct.STATUS_SOLVED
+    assert float(ct.replay_dynamics(system, res.trajectory,
+                                    res.control)) <= 1e-10
     _, vel, control = check_physics(res, "target")
     assert vel.max() <= X_UPPER[1] + 1e-6
     assert control.max() <= U_UPPER[0] + 1e-6

@@ -107,3 +107,44 @@ def test_fused_general_matches_xla_path():
         n_iter=iters, sigma=opts.sigma, alpha=opts.alpha, interpret=True)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_solve_qp_batched_fused_matches_xla():
+    """The batched fused entry point (bench fast path) vs solve_qp_batched."""
+    from copra_tpu.ops.admm_kernel import solve_qp_batched_fused
+    batch, n, iters = 8, 12, 200
+    qp = random_box_qps(batch, n, seed=5)
+    qp32 = ct.DenseQP(Q=qp.Q.astype(jnp.float32), c=qp.c.astype(jnp.float32),
+                      Aeq=qp.Aeq, beq=qp.beq, Aineq=qp.Aineq,
+                      bineq=qp.bineq, lb=qp.lb.astype(jnp.float32),
+                      ub=qp.ub.astype(jnp.float32))
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    ref = ct.solve_qp_batched(qp, opts)
+    sol = solve_qp_batched_fused(qp32, opts)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-4)
+    assert sol.status.shape == (batch,)
+
+
+def test_solve_qp_batched_fused_with_polish_and_warm():
+    from copra_tpu.ops.admm_kernel import solve_qp_batched_fused
+    batch, n = 4, 10
+    qp = random_box_qps(batch, n, seed=6)
+    qp32 = ct.DenseQP(Q=qp.Q.astype(jnp.float32), c=qp.c.astype(jnp.float32),
+                      Aeq=qp.Aeq, beq=qp.beq, Aineq=qp.Aineq,
+                      bineq=qp.bineq, lb=qp.lb.astype(jnp.float32),
+                      ub=qp.ub.astype(jnp.float32))
+    opts = ct.SolverOptions(max_iter=500, early_exit=False, polish=True)
+    s1 = solve_qp_batched_fused(qp32, opts)
+    warm = ct.WarmStart(x=s1.x, y=s1.y, z=s1.z)
+    s2 = solve_qp_batched_fused(qp32, opts, warm)
+    np.testing.assert_allclose(np.asarray(s2.x), np.asarray(s1.x), atol=1e-5)
+    # against the exact oracle
+    from copra_tpu.qp.native import native_available, solve_qp_native
+    if native_available():
+        for b in range(batch):
+            one = ct.DenseQP.create(qp.Q[b], qp.c[b], lb=qp.lb[b],
+                                    ub=qp.ub[b])
+            exact = solve_qp_native(one)
+            np.testing.assert_allclose(np.asarray(s1.x[b]),
+                                       np.asarray(exact.x), atol=5e-4)

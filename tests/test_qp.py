@@ -134,7 +134,9 @@ def test_warm_start_reduces_iterations():
     warm = ct.solve_qp(qp, opts,
                        ct.WarmStart(x=cold.x, y=cold.y, z=cold.z))
     assert int(warm.iterations) <= int(cold.iterations)
-    assert int(warm.iterations) <= ct.SolverOptions().check_interval
+    # adaptive path checks every rho_update_interval iterations — a warm
+    # start from the solution must converge within the first check
+    assert int(warm.iterations) <= ct.SolverOptions().rho_update_interval
 
 
 def test_fixed_iteration_mode():

@@ -73,7 +73,8 @@ def test_stagewise_long_horizon_vs_condensed():
     system = ct.LTISystem.create(A, B, D, x0, N)
     costs, cons = costs_constraints()
     ref = ct.solve_mpc(system, costs, cons,
-                       ct.SolverOptions(max_iter=4000))
+                       ct.SolverOptions(max_iter=8000, eps_abs=1e-7,
+                                        eps_rel=0.0))
     _, Us, _ = solve_mpc_stagewise(
         system, costs, cons,
         ct.SolverOptions(max_iter=20000, early_exit=False))
