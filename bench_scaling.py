@@ -21,6 +21,9 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import copra_tpu as ct
     from copra_tpu.parallel import (batch_axes, make_mesh,

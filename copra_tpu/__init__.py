@@ -18,6 +18,8 @@ from .costs import (ControlCost, CostFunction, MixedCost, SimpleControlCost,
 from .errors import (CopraError, DimensionError, InitializationError,
                      SolverError)
 from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
+from .plan import (ControlPlan, make_control_plan, make_plan_step, plan_qp,
+                   plan_trajectory)
 from .qp.admm import solve_qp, solve_qp_batched
 from .qp.riccati import (StagewiseQP, lqr_solve, solve_mpc_stagewise,
                          solve_stagewise)
@@ -32,6 +34,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LMPC", "MPCResult", "build_qp", "solve_mpc", "HESSIAN_RIDGE",
+    "ControlPlan", "make_control_plan", "make_plan_step", "plan_qp",
+    "plan_trajectory",
     "LTISystem", "LTVSystem", "Preview", "condense", "condense_lti",
     "condense_lti_assoc", "condense_ltv", "condense_ltv_assoc",
     "lti_as_ltv", "replay_dynamics",

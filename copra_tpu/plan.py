@@ -1,0 +1,250 @@
+"""Control plans: precompiled receding-horizon MPC with x0-affine updates.
+
+Production-serving observation: for a fixed model (the standard receding-
+horizon setup), every QP ingredient except the initial state is constant —
+``Q``, the constraint matrices, and the bounds never change, and every
+linear term (cost ``c``, equality/inequality right-hand sides) is **affine
+in x0** (they all flow through the free response ``Phi x0 + xi``).  The
+reference hints at the same idea (qpOASES adapter re-creates its problem
+only when dimensions change, ``src/solvers/qpOASESSolver.cpp:66-86``) but
+still rebuilds every vector each tick; here the affine maps are extracted
+once by evaluating the exact build at ``x0 = 0`` and at each basis vector,
+so a serving tick is:
+
+    c  = c0  + Cmap  @ x0          (tiny matvec)
+    b* = b*0 + B*map @ x0
+    solve with the PRE-FACTORIZED KKT operator (box-only fast path)
+
+Works under vmap for batched scenario fleets; exact — tested against the
+full per-tick rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .constraints import Constraint
+from .costs import CostFunction
+from .mpc import build_qp
+from .qp.admm import solve_qp
+from .qp.types import DenseQP, QPSolution, SolverOptions, WarmStart
+from .systems import Preview, System, condense
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ControlPlan:
+    """All x0-independent QP data plus the affine maps for the linear terms.
+
+    ``Phi``/``xi``/``Psi`` are kept for trajectory reconstruction.
+    """
+
+    Q: Array          # [n, n]
+    c0: Array         # [n]
+    Cmap: Array       # [x, n]: c(x0) = c0 + x0 @ Cmap
+    Aeq: Array        # [me, n]
+    beq0: Array       # [me]
+    Beqmap: Array     # [x, me]
+    Aineq: Array      # [mi, n]
+    bineq0: Array     # [mi]
+    Bineqmap: Array   # [x, mi]
+    lb: Array         # [n]
+    ub: Array         # [n]
+    Phi: Array
+    Psi: Array
+    xi: Array
+    xdim: int = dataclasses.field(metadata=dict(static=True))
+    udim: int = dataclasses.field(metadata=dict(static=True))
+    horizon: int = dataclasses.field(metadata=dict(static=True))
+
+
+def make_control_plan(system: System,
+                      costs: Sequence[CostFunction],
+                      constraints: Sequence[Constraint]) -> ControlPlan:
+    """Extract the plan by exact affine probing of the QP build.
+
+    The build is evaluated at ``x0 = 0`` and at the ``x`` unit vectors; the
+    linear terms' exact affine maps follow (everything downstream of x0 is
+    linear).  Pure and vmappable (batch the system for fleet plans).
+    """
+    preview = condense(system)
+    x = preview.xdim
+    costs = tuple(costs)
+    constraints = tuple(constraints)
+
+    def build_at(x0):
+        qp = build_qp(preview, x0, costs, constraints)
+        return qp
+
+    zero = jnp.zeros((x,), preview.Phi.dtype)
+    qp0 = build_at(zero)
+    basis = jnp.eye(x, dtype=preview.Phi.dtype)
+    qps = jax.vmap(build_at)(basis)
+
+    Cmap = qps.c - qp0.c[None]            # [x, n]
+    Beqmap = qps.beq - qp0.beq[None]      # [x, me]
+    Bineqmap = qps.bineq - qp0.bineq[None]
+
+    return ControlPlan(
+        Q=qp0.Q, c0=qp0.c, Cmap=Cmap,
+        Aeq=qp0.Aeq, beq0=qp0.beq, Beqmap=Beqmap,
+        Aineq=qp0.Aineq, bineq0=qp0.bineq, Bineqmap=Bineqmap,
+        lb=qp0.lb, ub=qp0.ub,
+        Phi=preview.Phi, Psi=preview.Psi, xi=preview.xi,
+        xdim=x, udim=preview.udim, horizon=preview.horizon)
+
+
+def plan_qp(plan: ControlPlan, x0: Array) -> DenseQP:
+    """Instantiate the QP for one initial state — three tiny matvecs."""
+    return DenseQP(
+        Q=plan.Q, c=plan.c0 + x0 @ plan.Cmap,
+        Aeq=plan.Aeq, beq=plan.beq0 + x0 @ plan.Beqmap,
+        Aineq=plan.Aineq, bineq=plan.bineq0 + x0 @ plan.Bineqmap,
+        lb=plan.lb, ub=plan.ub)
+
+
+def plan_trajectory(plan: ControlPlan, x0: Array, U: Array) -> Array:
+    return plan.Phi @ x0 + plan.Psi @ U + plan.xi
+
+
+def _box_fast_state(plan: ControlPlan, options: SolverOptions):
+    """Precompute the Jacobi-preconditioned KKT inverse for the box-only
+    fast path (shared across every tick and every scenario that shares the
+    plan)."""
+    n = plan.Q.shape[-1]
+    dt = plan.Q.dtype
+    K = plan.Q + (options.sigma + options.rho) * jnp.eye(n, dtype=dt)
+    S = 1.0 / jnp.sqrt(jnp.diagonal(K))
+    Ks = K * S[:, None] * S[None, :]
+    Ls = jnp.linalg.cholesky(Ks)
+    eye = jnp.eye(n, dtype=dt)
+    Lsi = lax.linalg.triangular_solve(Ls, eye, left_side=True, lower=True)
+    Kinv = (Lsi.T @ Lsi) * S[:, None] * S[None, :]
+    return Kinv, K
+
+
+def make_plan_step(plan: ControlPlan,
+                   options: SolverOptions = SolverOptions(),
+                   batched: bool = False):
+    """Build ``step(x0, warm) -> (U, solution, next_warm)``.
+
+    Box-only plans (no eq/ineq rows) use the pre-factorized fixed-iteration
+    fast path — per tick: one affine map, ``max_iter`` KKT matvecs, one
+    projection stream.  Plans with general rows fall back to the full
+    solver (still skipping condensing and Q assembly).  ``batched=True``
+    vmaps over a leading axis of ``plan`` leaves and/or ``x0``.
+    """
+    box_only = plan.Aeq.shape[-2] == 0 and plan.Aineq.shape[-2] == 0
+
+    if box_only:
+        opts = options.replace(early_exit=False)
+        # factorize ONCE at step-construction time — the whole point of a
+        # plan; batched plans (leading axis on Q) factorize per lane
+        q_batched = plan.Q.ndim == 3
+        if q_batched:
+            fast = jax.jit(jax.vmap(lambda q: _box_fast_state(
+                dataclasses.replace(plan, Q=q), opts)))(plan.Q)
+        else:
+            fast = jax.jit(lambda: _box_fast_state(plan, opts))()
+        Kinv_pre, K_pre = fast
+
+        def single(plan_s, Kinv, K, x0, warm):
+            n = plan_s.Q.shape[-1]
+            dt = plan_s.Q.dtype
+            c = plan_s.c0 + x0 @ plan_s.Cmap
+            sigma = jnp.asarray(opts.sigma, dt)
+            rho = jnp.asarray(opts.rho, dt)
+            alpha = jnp.asarray(opts.alpha, dt)
+            refine = opts.kkt_refine
+            if refine < 0:
+                refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
+
+            if warm is None:
+                x = jnp.zeros((n,), dt)
+                z = jnp.zeros((n,), dt)
+                y = jnp.zeros((n,), dt)
+            else:
+                x, y, z = warm.x, warm.y, warm.z
+
+            def body(_, st):
+                x, z, y = st
+                rhs = sigma * x - c + rho * z - y
+                x_t = Kinv @ rhs
+                for _ in range(refine):
+                    x_t = x_t + Kinv @ (rhs - K @ x_t)
+                x_n = alpha * x_t + (1 - alpha) * x
+                z_rel = alpha * x_t + (1 - alpha) * z
+                z_n = jnp.clip(z_rel + y / rho, plan_s.lb, plan_s.ub)
+                y_n = y + rho * (z_rel - z_n)
+                return x_n, z_n, y_n
+
+            x, z, y = lax.fori_loop(0, opts.max_iter, body, (x, z, y))
+            r_prim = jnp.max(jnp.abs(x - z))
+            grad = plan_s.Q @ x + c + y
+            r_dual = jnp.max(jnp.abs(grad))
+            eps = max(opts.eps_abs, 25.0 * float(jnp.finfo(dt).eps))
+            conv = (r_prim <= eps + opts.eps_rel * jnp.max(jnp.abs(x))) \
+                & (r_dual <= eps + opts.eps_rel * jnp.max(jnp.abs(grad)))
+            sol = QPSolution(
+                x=x, y=y, z=z,
+                status=jnp.where(conv, 0, 1).astype(jnp.int32),
+                iterations=jnp.asarray(opts.max_iter, jnp.int32),
+                primal_residual=r_prim, dual_residual=r_dual)
+            return x, sol, WarmStart(x=x, y=y, z=z)
+    else:
+        def single(plan_s, x0, warm):
+            qp = plan_qp(plan_s, x0)
+            sol = solve_qp(qp, options, warm)
+            return sol.x, sol, WarmStart(x=sol.x, y=sol.y, z=sol.z)
+
+    # NOTE: the large precomputed arrays (plan leaves, Kinv) must flow in as
+    # jit ARGUMENTS, not closure constants — constants get baked into the
+    # serialized program (and e.g. remote-compile transports reject
+    # hundreds-of-MB payloads).
+    if not batched:
+        if box_only:
+            jit_single = jax.jit(single)
+            return lambda x0, warm: jit_single(plan, Kinv_pre, K_pre, x0,
+                                               warm)
+        jit_single = jax.jit(single)
+        return lambda x0, warm: jit_single(plan, x0, warm)
+
+    def _axes(plan_b):
+        # leaves with a leading batch axis get mapped; shared leaves
+        # broadcast (detect by comparing against the unbatched rank)
+        base = ControlPlan(Q=2, c0=1, Cmap=2, Aeq=2, beq0=1, Beqmap=2,
+                           Aineq=2, bineq0=1, Bineqmap=2, lb=1, ub=1,
+                           Phi=2, Psi=2, xi=1, xdim=plan_b.xdim,
+                           udim=plan_b.udim, horizon=plan_b.horizon)
+        return jax.tree_util.tree_map(
+            lambda leaf, nd: 0 if leaf.ndim > nd else None, plan_b, base)
+
+    if box_only:
+        kax = 0 if q_batched else None
+
+        @jax.jit
+        def stepb(plan_b, Kinv, K, x0_b, warm_b):
+            warm_axes = (WarmStart(x=0, y=0, z=0)
+                         if warm_b is not None else None)
+            return jax.vmap(single,
+                            in_axes=(_axes(plan_b), kax, kax, 0,
+                                     warm_axes))(plan_b, Kinv, K, x0_b,
+                                                 warm_b)
+
+        return lambda plan_b, x0_b, warm_b: stepb(plan_b, Kinv_pre, K_pre,
+                                                  x0_b, warm_b)
+
+    @jax.jit
+    def stepb_gen(plan_b, x0_b, warm_b):
+        warm_axes = WarmStart(x=0, y=0, z=0) if warm_b is not None else None
+        return jax.vmap(single, in_axes=(_axes(plan_b), 0, warm_axes))(
+            plan_b, x0_b, warm_b)
+
+    return stepb_gen

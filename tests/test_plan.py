@@ -1,0 +1,98 @@
+"""Control plans: the precompiled receding-horizon path must be EXACT vs
+the per-tick rebuild (the affine extraction is algebra, not approximation).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import copra_tpu as ct
+from copra_tpu.plan import (make_control_plan, make_plan_step, plan_qp,
+                            plan_trajectory)
+
+from fixtures import (A, B, D, GOLDEN_CONTROL, INEQ_E, INEQ_G, INEQ_H,
+                      INEQ_P, M, N_MAT, SMALL_N, SMALL_X0, UD, U_LOWER,
+                      U_UPPER, WU, WX, XD, X_LOWER, X_UPPER)
+
+
+def full_setup():
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.TrajectoryConstraint.create(INEQ_E, INEQ_P),
+                   ct.ControlConstraint.create(INEQ_G, INEQ_H),
+                   ct.TrajectoryBoundConstraint.create(X_LOWER, X_UPPER),
+                   ct.ControlBoundConstraint.create(U_LOWER, U_UPPER))
+    return system, costs, constraints
+
+
+def test_plan_qp_matches_full_build_all_constraint_kinds():
+    system, costs, constraints = full_setup()
+    plan = make_control_plan(system, costs, constraints)
+    preview = ct.condense(system)
+    for x0 in (SMALL_X0, np.array([0.3, -2.0]), np.array([-1.0, 0.5])):
+        x0 = jnp.asarray(x0)
+        ref = ct.build_qp(preview, x0, costs, constraints)
+        got = plan_qp(plan, x0)
+        np.testing.assert_allclose(np.asarray(got.c), np.asarray(ref.c),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.bineq),
+                                   np.asarray(ref.bineq), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got.Q), np.asarray(ref.Q),
+                                   atol=0)
+        np.testing.assert_allclose(np.asarray(got.lb), np.asarray(ref.lb))
+
+
+def test_plan_step_box_fast_path_golden():
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.ControlBoundConstraint.create(U_LOWER, U_UPPER),)
+    plan = make_control_plan(system, costs, constraints)
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=2000))
+    U, sol, warm = step(jnp.asarray(SMALL_X0), None)
+    ref = ct.solve_mpc(system, costs, constraints,
+                       ct.SolverOptions(max_iter=2000, early_exit=False,
+                                        polish=False))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.control),
+                               atol=1e-7)
+    # a warm re-step converges further toward the golden optimum
+    U2, _, _ = step(jnp.asarray(SMALL_X0), warm)
+    e1 = np.abs(np.asarray(U) - GOLDEN_CONTROL).max()
+    e2 = np.abs(np.asarray(U2) - GOLDEN_CONTROL).max()
+    assert e2 <= e1 + 1e-9
+    # fixed-iteration path without polish: first-order accuracy only (the
+    # polished golden contract is covered by test_mpc_golden)
+    assert e2 <= 5e-4
+
+
+def test_plan_step_general_path_matches_solve_mpc():
+    system, costs, constraints = full_setup()
+    plan = make_control_plan(system, costs, constraints)
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=3000))
+    U, sol, _ = step(jnp.asarray(SMALL_X0), None)
+    ref = ct.solve_mpc(system, costs, constraints,
+                       ct.SolverOptions(max_iter=3000))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.control),
+                               atol=1e-6)
+    X = plan_trajectory(plan, jnp.asarray(SMALL_X0), U)
+    assert float(ct.replay_dynamics(system, X, U)) <= 1e-10
+
+
+def test_plan_step_batched_fleet():
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.ControlBoundConstraint.create(U_LOWER, U_UPPER),)
+    plan = make_control_plan(system, costs, constraints)
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=1500),
+                          batched=True)
+    batch = 8
+    rng = np.random.default_rng(0)
+    x0s = SMALL_X0[None] + rng.normal(scale=[0.02, 0.1], size=(batch, 2))
+    U, sol, warm = step(plan, jnp.asarray(x0s), None)
+    assert U.shape == (batch, SMALL_N)
+    # lane solved individually matches
+    U1, _, _ = make_plan_step(plan, ct.SolverOptions(max_iter=1500))(
+        jnp.asarray(x0s[3]), None)
+    np.testing.assert_allclose(np.asarray(U[3]), np.asarray(U1), atol=1e-7)
