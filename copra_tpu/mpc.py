@@ -26,6 +26,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ._precision import highest_precision
 from .constraints import Constraint, ConstraintKind, ControlBoundConstraint
 from .costs import CostFunction
 from .errors import InitializationError
@@ -40,6 +41,7 @@ Array = jax.Array
 HESSIAN_RIDGE = 1e-6
 
 
+@highest_precision
 def build_qp(preview: Preview, x0: Array,
              costs: Sequence[CostFunction],
              constraints: Sequence[Constraint],

@@ -22,6 +22,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+from .._precision import highest_precision
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -29,16 +31,31 @@ Array = jax.Array
 
 
 def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
-                kinv_ref, c_ref, l_ref, u_ref, x0_ref, y0_ref, z0_ref,
-                x_ref, y_ref, z_ref):
-    """Box-only ADMM: C = I, z/y live in R^n.  One sub-batch per program."""
+                refine: int,
+                kinv_ref, k_ref, c_ref, l_ref, u_ref, x0_ref, y0_ref,
+                z0_ref, x_ref, y_ref, z_ref):
+    """Box-only ADMM: C = I, z/y live in R^n.  One sub-batch per program.
+
+    ``refine`` steps of iterative refinement against K per KKT solve make
+    the f32 explicit inverse accurate on ill-conditioned MPC Hessians —
+    without it the f32 iteration diverges on 1e-6..1e4-spread spectra.
+    """
     sb = x0_ref.shape[0]
     rho_inv = 1.0 / rho
     one_minus_alpha = 1.0 - alpha
 
+    def matvec(v, m_ref_val):
+        # HIGHEST precision: TPU f32 dots default to bf16 MXU passes, which
+        # is fatal against ill-conditioned KKT operators
+        return jax.lax.dot_general(
+            v, m_ref_val, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
     def scenario(j, _):
         # dynamic ref indexing keeps the kernel HLO O(1) in sub-batch size
         Kinv = kinv_ref[j]          # [n, n]
+        K = k_ref[j]
         c = c_ref[j][None, :]       # [1, n]
         l = l_ref[j][None, :]
         u = u_ref[j][None, :]
@@ -46,9 +63,9 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
         def body(_, carry):
             x, z, y = carry         # each [1, n]
             rhs = sigma * x - c + rho * z - y
-            x_t = jax.lax.dot_general(
-                rhs, Kinv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            x_t = matvec(rhs, Kinv)
+            for _ in range(refine):
+                x_t = x_t + matvec(rhs - matvec(x_t, K), Kinv)
             x_n = alpha * x_t + one_minus_alpha * x
             z_rel = alpha * x_t + one_minus_alpha * z
             z_n = jnp.clip(z_rel + rho_inv * y, l, u)
@@ -66,16 +83,19 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
-                                             "rho", "sub_batch", "interpret"))
-def fused_admm_box(Kinv: Array, c: Array, l: Array, u: Array,
+                                             "rho", "refine", "sub_batch",
+                                             "interpret"))
+def fused_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,
                    x0: Array, y0: Array, z0: Array, *,
                    n_iter: int, sigma: float, alpha: float, rho: float,
-                   sub_batch: int = 8,
+                   refine: int = 1, sub_batch: int = 8,
                    interpret: bool = False) -> Tuple[Array, Array, Array]:
     """Run ``n_iter`` box-only ADMM iterations for a batch of scenarios.
 
-    Args: ``Kinv [B,n,n]`` (inverse of ``Q+(sigma+rho)I``), ``c/l/u/x0/y0/z0
-    [B,n]``.  Returns ``(x, y, z)`` each ``[B,n]``.
+    Args: ``Kinv/K [B,n,n]`` (inverse and original ``Q+(sigma+rho)I`` — K
+    is used for ``refine`` iterative-refinement steps per solve, required
+    for f32 on ill-conditioned problems), ``c/l/u/x0/y0/z0 [B,n]``.
+    Returns ``(x, y, z)`` each ``[B,n]``.
     """
     B, n = c.shape
     sb = min(sub_batch, B)
@@ -93,16 +113,16 @@ def fused_admm_box(Kinv: Array, c: Array, l: Array, u: Array,
     mat_spec = pl.BlockSpec((sb, n, n), block2, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_box_kernel, n_iter, float(sigma),
-                               float(alpha), float(rho))
+                               float(alpha), float(rho), int(refine))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[mat_spec] + [vec_spec] * 6,
+        in_specs=[mat_spec, mat_spec] + [vec_spec] * 6,
         out_specs=(vec_spec, vec_spec, vec_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((B, n), c.dtype)
                         for _ in range(3)),
         interpret=interpret,
-    )(Kinv, c, l, u, x0, y0, z0)
+    )(Kinv, K, c, l, u, x0, y0, z0)
     return out
 
 
@@ -129,15 +149,18 @@ def _general_kernel(n_iter: int, sigma: float, alpha: float,
             # C^T w : contract C's m-axis with w
             ctw = jax.lax.dot_general(
                 w, C, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [1, n]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [1, n]
             rhs = sigma * x - c + ctw
             x_t = jax.lax.dot_general(
                 rhs, Kinv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [1, n]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [1, n]
             # C x_t : contract C's n-axis
             z_t = jax.lax.dot_general(
                 x_t, C, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [1, m]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [1, m]
             x_n = alpha * x_t + one_minus_alpha * x
             z_rel = alpha * z_t + one_minus_alpha * z
             z_n = jnp.clip(z_rel + rho_inv * y, l, u)
@@ -196,6 +219,7 @@ def fused_admm_general(Kinv: Array, C: Array, c: Array,
     return out
 
 
+@highest_precision
 def solve_qp_batched_fused(qp, options=None, warm_start=None,
                            interpret=None):
     """Batched box-only QP solve through the fused kernel.
@@ -246,9 +270,9 @@ def solve_qp_batched_fused(qp, options=None, warm_start=None,
         z0 = jnp.zeros((B, n), dt)
 
     x, y, z = fused_admm_box(
-        Kinv, c, lb, ub, x0, y0, z0,
+        Kinv, K, c, lb, ub, x0, y0, z0,
         n_iter=options.max_iter, sigma=sigma, alpha=alpha, rho=rho,
-        sub_batch=32, interpret=interpret)
+        refine=1, sub_batch=32, interpret=interpret)
 
     if options.polish:
         def pol(qb, cb, lbb, ubb, xb, yb, zb):

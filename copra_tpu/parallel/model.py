@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..qp.types import (STATUS_MAX_ITER, STATUS_SOLVED, DenseQP, QPSolution,
                         SolverOptions, WarmStart)
+from .._precision import highest_precision
 from ..qp.admm import stack_constraints
 
 Array = jax.Array
@@ -59,6 +60,7 @@ def shard_constraints(qp: DenseQP, options: SolverOptions, n_shards: int
     return C, l, u, rho, m
 
 
+@highest_precision
 def solve_qp_model_parallel(qp: DenseQP,
                             options: SolverOptions = SolverOptions(),
                             warm_start: Optional[WarmStart] = None,

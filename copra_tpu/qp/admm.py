@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .._precision import highest_precision
 from .types import (STATUS_DUAL_INFEASIBLE, STATUS_MAX_ITER,
                     STATUS_PRIMAL_INFEASIBLE, STATUS_SOLVED, DenseQP,
                     QPSolution, SolverOptions, WarmStart)
@@ -184,6 +185,7 @@ def _polish(qp: DenseQP, C: Array, l: Array, u: Array,
     return x_out, y_out
 
 
+@highest_precision
 def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
              warm_start: Optional[WarmStart] = None) -> QPSolution:
     """Solve one dense QP (vmap for batches).  Pure and jittable;
@@ -281,6 +283,25 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
         x0 = warm_start.x * D_inv
         y0 = warm_start.y * cost_s * E_inv
         z0 = warm_start.z * E
+    elif (box_only and (options.seed == "unconstrained"
+                        or (options.seed == "auto"
+                            and jnp.finfo(dt).eps < 1e-10))):
+        # Seed from the (clipped) unconstrained minimum: MPC QPs often have
+        # few active bounds, and ADMM from this point converges orders of
+        # magnitude faster than from zero (instantly when nothing is
+        # active).  One extra n x n factorization, amortized immediately.
+        Qr = Qs + sigma * jnp.eye(n, dtype=dt)
+        Sq = 1.0 / jnp.sqrt(jnp.diagonal(Qr))
+        Lq = jnp.linalg.cholesky(Qr * Sq[:, None] * Sq[None, :])
+        eye_n = jnp.eye(n, dtype=dt)
+        Lqi = lax.linalg.triangular_solve(Lq, eye_n, left_side=True,
+                                          lower=True)
+        Qinv = (Lqi.T @ Lqi) * Sq[:, None] * Sq[None, :]
+        x_uc = -(Qinv @ cs)
+        x_uc = x_uc - Qinv @ (Qr @ x_uc + cs)   # one refinement (f32)
+        z0 = jnp.clip(C_mv(x_uc), ls, us)
+        x0 = x_uc
+        y0 = jnp.zeros((m,), dt)
     else:
         x0 = jnp.zeros((n,), dt)
         y0 = jnp.zeros((m,), dt)

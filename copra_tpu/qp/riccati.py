@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .._precision import highest_precision
 from ..constraints import (Constraint, ControlBoundConstraint,
                            TrajectoryBoundConstraint)
 from ..costs import (ControlCost, CostFunction, SimpleControlCost,
@@ -167,6 +168,7 @@ def from_mpc(system: System,
                        x0=system.x0, xlb=xlb, xub=xub, ulb=ulb, uub=uub)
 
 
+@highest_precision
 def lqr_solve(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
               Ru: Array, ru: Array, x0: Array) -> Tuple[Array, Array]:
     """Equality-constrained stagewise LQ solve via one Riccati sweep.
@@ -214,6 +216,7 @@ def lqr_solve(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
     return X, Us
 
 
+@highest_precision
 def solve_stagewise(sqp: StagewiseQP,
                     options: SolverOptions = SolverOptions(),
                     warm_start=None) -> Tuple[Array, Array, QPSolution]:

@@ -139,6 +139,12 @@ class SolverOptions:
     check_interval: int = 10      # residual-check cadence inside while_loop
     adaptive_rho: bool = True     # OSQP-style rho adaptation (early_exit
     #                               path only; refactorizes per update)
+    seed: str = "auto"            # cold-start seed for box-only QPs:
+    #                               "unconstrained" (clip(-Q^-1 c)),
+    #                               "zero", or "auto" (unconstrained in
+    #                               f64 only — computing -Q^-1 c in f32 is
+    #                               meaningless for 1e8-conditioned MPC
+    #                               Hessians; use plan.make_seed_map there)
     rho_update_interval: int = 50  # iterations between rho updates
     polish: bool = True           # active-set KKT polish after ADMM
     polish_delta: float = 1e-10   # floored at 100*machine_eps per dtype

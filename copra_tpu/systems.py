@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ._precision import highest_precision
 from .errors import DimensionError, bad_dim
 
 Array = jax.Array
@@ -266,6 +267,7 @@ class Preview:
         return self.Phi @ x0 + self.Psi @ U + self.xi
 
 
+@highest_precision
 def condense_lti(A: Array, B: Array, d: Array, horizon: int) -> Preview:
     """Condense an LTI system over ``horizon`` steps.
 
@@ -311,6 +313,7 @@ def condense_lti(A: Array, B: Array, d: Array, horizon: int) -> Preview:
                    xi=xi.reshape((N + 1) * x), xdim=x, udim=u, horizon=N)
 
 
+@highest_precision
 def condense_ltv(A: Array, B: Array, d: Array) -> Preview:
     """Condense an LTV system from stacked ``A:[N,x,x] B:[N,x,u] d:[N,x]``.
 
@@ -352,6 +355,7 @@ def condense_ltv(A: Array, B: Array, d: Array) -> Preview:
                    xi=xi.reshape((N + 1) * x), xdim=x, udim=u, horizon=N)
 
 
+@highest_precision
 def condense_lti_assoc(A: Array, B: Array, d: Array, horizon: int) -> Preview:
     """O(log N)-depth LTI condensing via ``lax.associative_scan``.
 
@@ -395,6 +399,7 @@ def condense_lti_assoc(A: Array, B: Array, d: Array, horizon: int) -> Preview:
                    xi=xi.reshape((N + 1) * x), xdim=x, udim=u, horizon=N)
 
 
+@highest_precision
 def condense_ltv_assoc(A: Array, B: Array, d: Array) -> Preview:
     """O(log N)-depth LTV condensing via ``lax.associative_scan``.
 

@@ -41,7 +41,8 @@ def test_fused_box_matches_xla_path():
     Kinv = jnp.linalg.inv(K)
     zeros = jnp.zeros((batch, n))
     x, y, z = fused_admm_box(
-        Kinv.astype(jnp.float32), qp.c.astype(jnp.float32),
+        Kinv.astype(jnp.float32), K.astype(jnp.float32),
+        qp.c.astype(jnp.float32),
         qp.lb.astype(jnp.float32), qp.ub.astype(jnp.float32),
         zeros.astype(jnp.float32), zeros.astype(jnp.float32),
         zeros.astype(jnp.float32),
@@ -64,7 +65,8 @@ def test_fused_box_solution_quality():
     Kinv = jnp.linalg.inv(K)
     zeros = jnp.zeros((batch, n), jnp.float32)
     x, _, _ = fused_admm_box(
-        Kinv.astype(jnp.float32), qp.c.astype(jnp.float32),
+        Kinv.astype(jnp.float32), K.astype(jnp.float32),
+        qp.c.astype(jnp.float32),
         qp.lb.astype(jnp.float32), qp.ub.astype(jnp.float32),
         zeros, zeros, zeros,
         n_iter=iters, sigma=opts.sigma, alpha=opts.alpha, rho=opts.rho,
