@@ -11,8 +11,13 @@ into user code).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
+
+# "highest" = full f32 (6 bf16 MXU passes), "high" = 3 passes (~1e-6
+# relative per dot).  Overridable for speed/accuracy experiments.
+MATMUL_PRECISION = os.environ.get("COPRA_MATMUL_PRECISION", "highest")
 
 
 def highest_precision(fn):
@@ -20,7 +25,7 @@ def highest_precision(fn):
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(MATMUL_PRECISION):
             return fn(*args, **kwargs)
 
     return wrapped

@@ -29,6 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# Mosaic supports only DEFAULT/HIGHEST dot precision in kernels — and
+# DEFAULT (bf16 passes) is numerically fatal here, so always HIGHEST.
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
                 refine: int,
@@ -50,7 +54,7 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
         return jax.lax.dot_general(
             v, m_ref_val, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_DOT_PRECISION)
 
     def scenario(j, _):
         # dynamic ref indexing keeps the kernel HLO O(1) in sub-batch size
@@ -150,17 +154,17 @@ def _general_kernel(n_iter: int, sigma: float, alpha: float,
             ctw = jax.lax.dot_general(
                 w, C, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [1, n]
+                precision=_DOT_PRECISION)      # [1, n]
             rhs = sigma * x - c + ctw
             x_t = jax.lax.dot_general(
                 rhs, Kinv, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [1, n]
+                precision=_DOT_PRECISION)      # [1, n]
             # C x_t : contract C's n-axis
             z_t = jax.lax.dot_general(
                 x_t, C, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [1, m]
+                precision=_DOT_PRECISION)      # [1, m]
             x_n = alpha * x_t + one_minus_alpha * x
             z_rel = alpha * z_t + one_minus_alpha * z
             z_n = jnp.clip(z_rel + rho_inv * y, l, u)
