@@ -20,7 +20,7 @@ shape, per-step checked first (matches the reference's if-order, relevant when
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

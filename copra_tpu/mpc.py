@@ -20,14 +20,13 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ._precision import highest_precision
-from .constraints import Constraint, ConstraintKind, ControlBoundConstraint
+from .constraints import Constraint, ConstraintKind
 from .costs import CostFunction
 from .errors import InitializationError
 from .qp.registry import get_solver

@@ -19,7 +19,7 @@ from ..constraints import Constraint
 from ..costs import CostFunction
 from ..mpc import MPCResult, solve_mpc
 from ..qp.types import SolverOptions, WarmStart
-from ..systems import LTISystem, LTVSystem, System
+from ..systems import LTISystem, System
 
 # Canonical (unbatched) ranks of each system leaf; a leaf with higher rank
 # carries a leading batch axis and gets mapped.

@@ -9,7 +9,6 @@ explicit `psum` collectives (riding ICI within a slice, DCN across slices).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

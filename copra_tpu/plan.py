@@ -22,7 +22,7 @@ full per-tick rebuild.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from .costs import CostFunction
 from .mpc import build_qp
 from .qp.admm import solve_qp
 from .qp.types import DenseQP, QPSolution, SolverOptions, WarmStart
-from .systems import Preview, System, condense
+from .systems import System, condense
 
 Array = jax.Array
 
@@ -150,12 +150,24 @@ class SeedMap:
     to f32 is a perfectly good warm start.
     """
 
-    u0: Array     # [n] (or [B, n])
+    u0: Array     # [n] (or [B, n]) — seed at the center state
     Umap: Array   # [x, n] (or [B, x, n])
+    x0c: Array    # [x] (or [B, x]) — center the map is expanded around
+
+    def seed(self, x0: Array) -> Array:
+        """``u(x0) = u0 + (x0 - x0c) @ Umap`` (single scenario)."""
+        return self.u0 + (x0 - self.x0c) @ self.Umap
 
 
-def make_seed_map(plan: ControlPlan) -> SeedMap:
-    """Host-side f64 construction of the unconstrained-seed affine map."""
+def make_seed_map(plan: ControlPlan, center=None) -> SeedMap:
+    """Host-side f64 construction of the unconstrained-seed affine map.
+
+    ``center``: state(s) to expand around (default 0).  Centering at the
+    fleet's nominal x0 keeps the f32 on-device application accurate —
+    ``Umap`` entries can reach ~1e4, so applying the map to a SMALL
+    deviation ``x0 - x0c`` avoids large-operand cancellation; the centered
+    ``u0`` itself is exact (computed here in f64).
+    """
     import numpy as np
 
     Q = np.asarray(plan.Q, np.float64)
@@ -165,14 +177,23 @@ def make_seed_map(plan: ControlPlan) -> SeedMap:
     # solve Q X = Cmap^T for each scenario -> Umap = -(Q^-1 Cmap^T)^T
     Umap = -np.swapaxes(np.linalg.solve(Q, np.swapaxes(Cmap, -1, -2)),
                         -1, -2)
+    x = Cmap.shape[-2]
+    if center is None:
+        x0c = np.zeros(u0.shape[:-1] + (x,))
+    else:
+        x0c = np.broadcast_to(np.asarray(center, np.float64),
+                              u0.shape[:-1] + (x,))
+        u0 = u0 + np.einsum("...x,...xn->...n", x0c, Umap)
     dt = plan.Q.dtype
-    return SeedMap(u0=jnp.asarray(u0, dt), Umap=jnp.asarray(Umap, dt))
+    return SeedMap(u0=jnp.asarray(u0, dt), Umap=jnp.asarray(Umap, dt),
+                   x0c=jnp.asarray(x0c, dt))
 
 
 def make_plan_step(plan: ControlPlan,
                    options: SolverOptions = SolverOptions(),
                    batched: bool = False,
-                   use_fused: Optional[bool] = None):
+                   use_fused: Optional[bool] = None,
+                   seed_center=None):
     """Build ``step(x0, warm) -> (U, solution, next_warm)``.
 
     Box-only plans (no eq/ineq rows) use the pre-factorized fixed-iteration
@@ -204,39 +225,51 @@ def make_plan_step(plan: ControlPlan,
         else:
             Kinv_pre, K_pre = jax.jit(
                 lambda: _box_fast_state(plan, opts))()
-        seed_map = make_seed_map(plan)
+        seed_map = make_seed_map(plan, center=seed_center)
 
         @jax.jit
         @highest_precision
         def fused_step(plan_b, Kinv, Kf, seed, x0_b, warm_b):
+            """Correction-space tick: substitute ``x = x_seed + e``.
+
+            The gradient at the (host-f64-exact) unconstrained seed is zero
+            by construction, so the correction QP is ``min 1/2 e'Qe`` with
+            shifted bounds and ``c = 0`` — its fixed point ``e = 0`` is
+            exactly representable in f32, removing the f32 iteration noise
+            floor on inactive lanes; K (and its inverse) are unchanged.
+            """
             n = plan_b.Q.shape[-1]
             batch_n = x0_b.shape[0]
-            if plan_b.Cmap.ndim == 3:
-                c = plan_b.c0 + jnp.einsum("bx,bxn->bn", x0_b, plan_b.Cmap)
+            dx0 = x0_b - seed.x0c
+            if seed.Umap.ndim == 3:
+                x_seed = seed.u0 + jnp.einsum("bx,bxn->bn", dx0, seed.Umap)
             else:
-                c = plan_b.c0 + x0_b @ plan_b.Cmap
-            lb = jnp.broadcast_to(plan_b.lb, (batch_n, n))
-            ub = jnp.broadcast_to(plan_b.ub, (batch_n, n))
-            if warm_b is None:
-                # unconstrained-minimum seed (host-f64 affine map)
-                if seed.Umap.ndim == 3:
-                    wx = seed.u0 + jnp.einsum("bx,bxn->bn", x0_b, seed.Umap)
-                else:
-                    wx = seed.u0 + x0_b @ seed.Umap
-                wz = jnp.clip(wx, lb, ub)
-                wy = jnp.zeros((batch_n, n), jnp.float32)
-            else:
-                wx, wy, wz = warm_b.x, warm_b.y, warm_b.z
+                x_seed = seed.u0 + dx0 @ seed.Umap
+            lb = jnp.broadcast_to(plan_b.lb, (batch_n, n)) - x_seed
+            ub = jnp.broadcast_to(plan_b.ub, (batch_n, n)) - x_seed
+            czero = jnp.zeros((batch_n, n), jnp.float32)
+            # Every tick re-seeds the primal at the (exact) unconstrained
+            # minimum — carrying the stale correction across drifting seeds
+            # only adds noise — while the duals persist from the warm state
+            # (the active-set memory that makes constrained lanes fast).
+            we = czero
+            wz = jnp.clip(we, lb, ub)
+            wy = czero if warm_b is None else warm_b.y
             Kb = jnp.broadcast_to(
                 Kinv, (batch_n, n, n)) if Kinv.ndim == 2 else Kinv
             Kfb = jnp.broadcast_to(
                 Kf, (batch_n, n, n)) if Kf.ndim == 2 else Kf
-            x, y, z = fused_admm_box(
-                Kb, Kfb, c, lb, ub, wx, wy, wz,
+            refine = opts.kkt_refine
+            if refine < 0:   # auto: one refinement step in f32
+                refine = 1 if jnp.finfo(jnp.float32).eps > 1e-10 else 0
+            e, y, ze = fused_admm_box(
+                Kb, Kfb, czero, lb, ub, we, wy, wz,
                 n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
-                rho=opts.rho, refine=1, sub_batch=32,
+                rho=opts.rho, refine=refine, sub_batch=32,
                 interpret=jax.default_backend() not in ("tpu", "axon"))
-            r_prim = jnp.max(jnp.abs(x - z), axis=-1)
+            x = x_seed + e
+            z = x_seed + ze
+            r_prim = jnp.max(jnp.abs(e - ze), axis=-1)
             sol = QPSolution(
                 x=x, y=y, z=z,
                 status=jnp.zeros((batch_n,), jnp.int32),
@@ -259,7 +292,7 @@ def make_plan_step(plan: ControlPlan,
         else:
             fast = jax.jit(lambda: _box_fast_state(plan, opts))()
         Kinv_pre, K_pre = fast
-        seed_map = make_seed_map(plan)
+        seed_map = make_seed_map(plan, center=seed_center)
 
         @highest_precision
         def single(plan_s, Kinv, K, seed, x0, warm):
@@ -275,7 +308,7 @@ def make_plan_step(plan: ControlPlan,
 
             if warm is None:
                 # unconstrained-minimum seed (host-f64 affine map)
-                x = seed.u0 + x0 @ seed.Umap
+                x = seed.seed(x0)
                 z = jnp.clip(x, plan_s.lb, plan_s.ub)
                 y = jnp.zeros((n,), dt)
             else:
@@ -341,7 +374,7 @@ def make_plan_step(plan: ControlPlan,
         def stepb(plan_b, Kinv, K, seed, x0_b, warm_b):
             warm_axes = (WarmStart(x=0, y=0, z=0)
                          if warm_b is not None else None)
-            seed_axes = SeedMap(u0=kax, Umap=kax)
+            seed_axes = SeedMap(u0=kax, Umap=kax, x0c=kax)
             return jax.vmap(single,
                             in_axes=(_axes(plan_b), kax, kax, seed_axes, 0,
                                      warm_axes))(plan_b, Kinv, K, seed,

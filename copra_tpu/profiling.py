@@ -22,7 +22,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger("copra_tpu")

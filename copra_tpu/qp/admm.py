@@ -23,7 +23,6 @@ chip, ``shard_map`` scales over a mesh (see ``copra_tpu.parallel``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -36,7 +36,7 @@ from ..constraints import (Constraint, ControlBoundConstraint,
 from ..costs import (ControlCost, CostFunction, SimpleControlCost,
                      SimpleTrajectoryCost, TargetCost, TrajectoryCost)
 from ..errors import DimensionError
-from ..systems import LTISystem, LTVSystem, System
+from ..systems import LTISystem, System
 from .types import (STATUS_MAX_ITER, STATUS_SOLVED, QPSolution,
                     SolverOptions)
 

@@ -12,7 +12,7 @@ over the same scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from .costs import CostFunction
 from .mpc import build_qp
 from .qp.registry import get_solver
 from .qp.types import QPSolution, SolverOptions, WarmStart
-from .systems import LTISystem, LTVSystem, Preview, System, condense
+from .systems import LTISystem, Preview, System, condense
 
 Array = jax.Array
 

@@ -35,7 +35,6 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ._precision import highest_precision
