@@ -340,22 +340,110 @@ def make_plan_step(plan: ControlPlan,
                 primal_residual=r_prim, dual_residual=r_dual)
             return x, sol, WarmStart(x=x, y=y, z=z)
     else:
-        def single(plan_s, x0, warm):
-            qp = plan_qp(plan_s, x0)
-            sol = solve_qp(qp, options, warm)
-            return sol.x, sol, WarmStart(x=sol.x, y=sol.y, z=sol.z)
+        # General-constraint fast path: C = [Aeq; Aineq; I] and the KKT
+        # factor are x0-independent too — factorize once; per tick only the
+        # (affine) two-sided bound stacks change.  Same correction-space
+        # substitution as the box path.
+        opts = options.replace(early_exit=False)
+        me = plan.Aeq.shape[-2]
+        mi = plan.Aineq.shape[-2]
+        n_plan = plan.Q.shape[-1]
+        q_batched = plan.Q.ndim == 3
+
+        @highest_precision
+        def _general_fast_state(plan_s):
+            dt = plan_s.Q.dtype
+            C = jnp.concatenate([plan_s.Aeq, plan_s.Aineq,
+                                 jnp.eye(n_plan, dtype=dt)], axis=0)
+            rho_vec = jnp.concatenate([
+                jnp.full((me,), opts.rho * opts.rho_eq_scale, dt),
+                jnp.full((mi + n_plan,), opts.rho, dt)])
+            K = (plan_s.Q + opts.sigma * jnp.eye(n_plan, dtype=dt)
+                 + (C.T * rho_vec) @ C)
+            return C, rho_vec, K, _jacobi_inverse(K)
+
+        if q_batched:
+            # vmap the state builder over whichever plan leaves are batched
+            base_rank = ControlPlan(
+                Q=2, c0=1, Cmap=2, Aeq=2, beq0=1, Beqmap=2, Aineq=2,
+                bineq0=1, Bineqmap=2, lb=1, ub=1, Phi=2, Psi=2, xi=1,
+                xdim=plan.xdim, udim=plan.udim, horizon=plan.horizon)
+            state_axes = jax.tree_util.tree_map(
+                lambda leaf, nd: 0 if leaf.ndim > nd else None, plan,
+                base_rank)
+            C_pre, rho_pre, K_pre, Kinv_pre = jax.jit(jax.vmap(
+                _general_fast_state, in_axes=(state_axes,)))(plan)
+        else:
+            C_pre, rho_pre, K_pre, Kinv_pre = jax.jit(
+                lambda: _general_fast_state(plan))()
+        seed_map = make_seed_map(plan, center=seed_center)
+
+        @highest_precision
+        def single(plan_s, C, rho_vec, K, Kinv, seed, x0, warm):
+            dt = plan_s.Q.dtype
+            m = C.shape[0]
+            sigma = jnp.asarray(opts.sigma, dt)
+            alpha = jnp.asarray(opts.alpha, dt)
+            rho_inv = 1.0 / rho_vec
+            refine = opts.kkt_refine
+            if refine < 0:
+                refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
+
+            beq = plan_s.beq0 + x0 @ plan_s.Beqmap
+            bineq = plan_s.bineq0 + x0 @ plan_s.Bineqmap
+            l = jnp.concatenate([beq, jnp.full((mi,), -jnp.inf, dt),
+                                 plan_s.lb])
+            u = jnp.concatenate([beq, bineq, plan_s.ub])
+
+            # correction space around the unconstrained seed
+            x_seed = seed.seed(x0)
+            Cxs = C @ x_seed
+            l_e = l - Cxs
+            u_e = u - Cxs
+            e0 = jnp.zeros((n_plan,), dt)
+            z0 = jnp.clip(jnp.zeros((m,), dt), l_e, u_e)
+            y0 = jnp.zeros((m,), dt) if warm is None else warm.y
+
+            def body(_, st):
+                e, z, y = st
+                rhs = sigma * e + C.T @ (rho_vec * z - y)
+                e_t = Kinv @ rhs
+                for _ in range(refine):
+                    e_t = e_t + Kinv @ (rhs - K @ e_t)
+                z_t = C @ e_t
+                e_n = alpha * e_t + (1 - alpha) * e
+                z_rel = alpha * z_t + (1 - alpha) * z
+                z_n = jnp.clip(z_rel + rho_inv * y, l_e, u_e)
+                y_n = y + rho_vec * (z_rel - z_n)
+                return e_n, z_n, y_n
+
+            e, z, y = lax.fori_loop(0, opts.max_iter, body, (e0, z0, y0))
+            x = x_seed + e
+            r_prim = jnp.max(jnp.abs(C @ e - z))
+            c_tick = plan_s.c0 + x0 @ plan_s.Cmap
+            grad = plan_s.Q @ x + c_tick + C.T @ y
+            r_dual = jnp.max(jnp.abs(grad))
+            eps = max(opts.eps_abs, 25.0 * float(jnp.finfo(dt).eps))
+            conv = (r_prim <= eps + opts.eps_rel * jnp.max(jnp.abs(C @ x))) \
+                & (r_dual <= eps + opts.eps_rel * jnp.max(jnp.abs(grad)))
+            sol = QPSolution(
+                x=x, y=y, z=Cxs + z,
+                status=jnp.where(conv, 0, 1).astype(jnp.int32),
+                iterations=jnp.asarray(opts.max_iter, jnp.int32),
+                primal_residual=r_prim, dual_residual=r_dual)
+            return x, sol, WarmStart(x=x, y=y, z=Cxs + z)
 
     # NOTE: the large precomputed arrays (plan leaves, Kinv) must flow in as
     # jit ARGUMENTS, not closure constants — constants get baked into the
     # serialized program (and e.g. remote-compile transports reject
     # hundreds-of-MB payloads).
     if not batched:
+        jit_single = jax.jit(single)
         if box_only:
-            jit_single = jax.jit(single)
             return lambda x0, warm: jit_single(plan, Kinv_pre, K_pre,
                                                seed_map, x0, warm)
-        jit_single = jax.jit(single)
-        return lambda x0, warm: jit_single(plan, x0, warm)
+        return lambda x0, warm: jit_single(plan, C_pre, rho_pre, K_pre,
+                                           Kinv_pre, seed_map, x0, warm)
 
     def _axes(plan_b):
         # leaves with a leading batch axis get mapped; shared leaves
@@ -383,10 +471,16 @@ def make_plan_step(plan: ControlPlan,
         return lambda plan_b, x0_b, warm_b: stepb(plan_b, Kinv_pre, K_pre,
                                                   seed_map, x0_b, warm_b)
 
-    @jax.jit
-    def stepb_gen(plan_b, x0_b, warm_b):
-        warm_axes = WarmStart(x=0, y=0, z=0) if warm_b is not None else None
-        return jax.vmap(single, in_axes=(_axes(plan_b), 0, warm_axes))(
-            plan_b, x0_b, warm_b)
+    kax = 0 if q_batched else None
 
-    return stepb_gen
+    @jax.jit
+    def stepb_gen(plan_b, C, rho_vec, K, Kinv, seed, x0_b, warm_b):
+        warm_axes = WarmStart(x=0, y=0, z=0) if warm_b is not None else None
+        seed_axes = SeedMap(u0=kax, Umap=kax, x0c=kax)
+        return jax.vmap(single,
+                        in_axes=(_axes(plan_b), kax, kax, kax, kax,
+                                 seed_axes, 0, warm_axes))(
+            plan_b, C, rho_vec, K, Kinv, seed, x0_b, warm_b)
+
+    return lambda plan_b, x0_b, warm_b: stepb_gen(
+        plan_b, C_pre, rho_pre, K_pre, Kinv_pre, seed_map, x0_b, warm_b)

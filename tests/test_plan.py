@@ -124,3 +124,59 @@ def test_plan_step_fused_matches_xla_step():
     U2, _, _ = step_fus(plan, jnp.asarray(x0s), None)
     np.testing.assert_allclose(np.asarray(U1), np.asarray(U2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_plan_step_general_batched():
+    """Batched general-constraint plan step vs per-lane solve_qp."""
+    system, costs, constraints = full_setup()
+    batch = 4
+    rng = np.random.default_rng(2)
+    x0s = SMALL_X0[None] + rng.normal(scale=[0.02, 0.1], size=(batch, 2))
+    plan = jax.jit(jax.vmap(lambda x0: make_control_plan(
+        system.with_x0(x0), costs, constraints)))(jnp.asarray(x0s))
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=3000),
+                          batched=True)
+    U, sol, warm = step(plan, jnp.asarray(x0s), None)
+    assert U.shape == (batch, SMALL_N)
+    for b in (0, 3):
+        ref = ct.solve_mpc(system.with_x0(jnp.asarray(x0s[b])), costs,
+                           constraints, ct.SolverOptions(max_iter=6000))
+        np.testing.assert_allclose(np.asarray(U[b]),
+                                   np.asarray(ref.control), atol=2e-5)
+    # warm (dual-carrying) re-step stays consistent
+    U2, _, _ = step(plan, jnp.asarray(x0s), warm)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U), atol=1e-4)
+
+
+def test_plan_step_bipedal_zmp_config():
+    """The N=300 ZMP preview config (BASELINE config 5) through the
+    general plan fast path: one-time prep, per-tick iterations only."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from bipedal_walking import footstep_plan, lipm_system
+    from copra_tpu.autospan import span_matrix
+
+    horizon, T = 300, 0.005
+    A, B, d, zmp_row = lipm_system(T, 0.8)
+    ref, lo, hi = footstep_plan(4, horizon, T)
+    Zfull = np.asarray(span_matrix(zmp_row, horizon + 1))
+    system = ct.LTISystem.create(A, B, d, np.zeros(3), horizon)
+    costs = (ct.TrajectoryCost(M=jnp.asarray(Zfull), p=jnp.asarray(ref[0]),
+                               weights=jnp.full(horizon + 1, 1.0)),
+             ct.SimpleControlCost(p=jnp.zeros(horizon),
+                                  weights=jnp.full(horizon, 1e-6)))
+    constraints = (ct.TrajectoryConstraint(E=jnp.asarray(Zfull),
+                                           f=jnp.asarray(hi[0])),
+                   ct.TrajectoryConstraint(E=jnp.asarray(-Zfull),
+                                           f=jnp.asarray(-lo[0])))
+    plan = make_control_plan(system, costs, constraints)
+    # 602 tight inequality rows at N=300 need the long iteration budget
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=8000))
+    U, sol, _ = step(jnp.zeros(3), None)
+    X = plan_trajectory(plan, jnp.zeros(3), U)
+    zmp = np.asarray(Zfull @ X)
+    assert (zmp <= hi[0] + 1e-5).all()
+    assert (zmp >= lo[0] - 1e-5).all()
+    assert float(ct.replay_dynamics(system, X, U)) <= 1e-8
