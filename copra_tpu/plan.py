@@ -170,6 +170,11 @@ def make_seed_map(plan: ControlPlan, center=None) -> SeedMap:
     """
     import numpy as np
 
+    if isinstance(plan.Q, jax.core.Tracer):
+        raise TypeError(
+            "make_seed_map needs concrete plan arrays (it solves on host "
+            "in f64) — build the plan/step OUTSIDE jit; the step itself "
+            "jits internally.")
     Q = np.asarray(plan.Q, np.float64)
     c0 = np.asarray(plan.c0, np.float64)
     Cmap = np.asarray(plan.Cmap, np.float64)
@@ -306,13 +311,12 @@ def make_plan_step(plan: ControlPlan,
             if refine < 0:
                 refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
 
-            if warm is None:
-                # unconstrained-minimum seed (host-f64 affine map)
-                x = seed.seed(x0)
-                z = jnp.clip(x, plan_s.lb, plan_s.ub)
-                y = jnp.zeros((n,), dt)
-            else:
-                x, y, z = warm.x, warm.y, warm.z
+            # primal always re-seeded at the (exact) unconstrained minimum;
+            # only the duals persist across ticks (active-set memory) —
+            # carrying stale primal state just adds noise
+            x = seed.seed(x0)
+            z = jnp.clip(x, plan_s.lb, plan_s.ub)
+            y = jnp.zeros((n,), dt) if warm is None else warm.y
 
             def body(_, st):
                 x, z, y = st

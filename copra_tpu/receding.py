@@ -106,16 +106,46 @@ def closed_loop(system: System,
                 n_ticks: int,
                 options: SolverOptions = SolverOptions(),
                 plant: Optional[Callable[[Array, Array], Array]] = None,
-                solver=None) -> ClosedLoopResult:
+                solver=None,
+                use_plan: bool = False) -> ClosedLoopResult:
     """Run ``n_ticks`` of warm-started receding-horizon control as one
     ``lax.scan`` — jittable and vmappable over scenario batches.
 
     ``plant`` maps ``(x, u) -> next x`` and defaults to the model's own
     step-0 dynamics (perfect-model rollout).
+
+    ``use_plan=True`` drives the loop through the precompiled
+    :mod:`copra_tpu.plan` fast path (factorize once, x0-affine tick
+    updates with an exact host-f64 unconstrained seed) instead of the
+    per-tick QP rebuild — the production configuration; requires the
+    default solver.
     """
+    plant_fn = plant or _first_step_plant(system)
+
+    if use_plan and solver is None:
+        from .plan import make_control_plan, make_plan_step
+
+        plan = make_control_plan(system, costs, constraints)
+        plan_step = make_plan_step(plan, options)
+        udim = system.udim
+
+        def tick_plan(carry, _):
+            x, warm = carry
+            U, sol, nxt = plan_step(x, warm)
+            u0 = U[:udim]
+            x_next = plant_fn(x, u0)
+            return (x_next, nxt), (x_next, u0, sol)
+
+        # probe once to size the warm pytree
+        _, sol0, warm0 = plan_step(system.x0, None)
+        warm0 = jax.tree_util.tree_map(jnp.zeros_like, warm0)
+        (_, _), (xs, us, sols) = lax.scan(
+            tick_plan, (system.x0, warm0), None, length=n_ticks)
+        states = jnp.concatenate([system.x0[None], xs], axis=0)
+        return ClosedLoopResult(states=states, controls=us, solutions=sols)
+
     step_fn, preview = make_receding_step(system, costs, constraints,
                                           options, solver)
-    plant_fn = plant or _first_step_plant(system)
 
     # probe solve to size the warm-start pytree (shapes are static)
     qp0 = build_qp(preview, system.x0, tuple(costs), tuple(constraints))

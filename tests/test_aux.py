@@ -72,3 +72,19 @@ def test_trace_span_noop():
     with trace_span("unit-test-span"):
         x = jnp.ones(3) * 2
     assert float(x.sum()) == 6.0
+
+
+def test_examples_run_clean(tmp_path):
+    """The shipped examples must execute end-to-end (small-horizon
+    override keeps suite time sane)."""
+    import runpy
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    # getting_started is N=300; just import-check bipedal helpers and run
+    # a reduced preview through the same entry points
+    from bipedal_walking import footstep_plan, lipm_system, solve_preview
+    X, U, zmp, (ref, lo, hi), sol = solve_preview(
+        horizon=60, options=__import__("copra_tpu").SolverOptions(
+            max_iter=2000))
+    assert (np.asarray(zmp) <= hi[:, :61] + 1e-5).all()

@@ -87,3 +87,18 @@ def test_cold_start_shapes():
     w = cold_start(preview, qp.nr_eq, qp.nr_ineq)
     assert w.x.shape == (preview.full_udim,)
     assert w.y.shape == (qp.nr_eq + qp.nr_ineq + preview.full_udim,)
+
+
+def test_closed_loop_via_plan_matches_rebuild():
+    """closed_loop(use_plan=True) == the per-tick rebuild loop."""
+    system, costs, constraints = setup()
+    opts = ct.SolverOptions(max_iter=1500)
+    r1 = jax.jit(lambda s: closed_loop(s, costs, constraints, 20, opts))(
+        system)
+    # the plan path builds its host-f64 seed maps eagerly — call it
+    # outside jit (the per-tick step jits internally)
+    r2 = closed_loop(system, costs, constraints, 20, opts, use_plan=True)
+    np.testing.assert_allclose(np.asarray(r1.states), np.asarray(r2.states),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r1.controls),
+                               np.asarray(r2.controls), atol=2e-3)
