@@ -423,8 +423,19 @@ def make_plan_step(plan: ControlPlan,
 
             e, z, y = lax.fori_loop(0, opts.max_iter, body, (e0, z0, y0))
             x = x_seed + e
-            r_prim = jnp.max(jnp.abs(C @ e - z))
             c_tick = plan_s.c0 + x0 @ plan_s.Cmap
+            if opts.polish:
+                # active-set KKT polish (same machinery as the full solver)
+                # recovers exactness once ADMM has identified the active set
+                from .qp.admm import _polish
+                qp_t = DenseQP(Q=plan_s.Q, c=c_tick, Aeq=plan_s.Aeq,
+                               beq=l[:me], Aineq=plan_s.Aineq,
+                               bineq=u[me:me + mi], lb=plan_s.lb,
+                               ub=plan_s.ub)
+                x, y = _polish(qp_t, C, l, u, x, y, Cxs + z, opts)
+                e = x - x_seed
+                z = jnp.clip(C @ e, l_e, u_e)
+            r_prim = jnp.max(jnp.abs(C @ e - z))
             grad = plan_s.Q @ x + c_tick + C.T @ y
             r_dual = jnp.max(jnp.abs(grad))
             eps = max(opts.eps_abs, 25.0 * float(jnp.finfo(dt).eps))

@@ -180,3 +180,16 @@ def test_plan_step_bipedal_zmp_config():
     assert (zmp <= hi[0] + 1e-5).all()
     assert (zmp >= lo[0] - 1e-5).all()
     assert float(ct.replay_dynamics(system, X, U)) <= 1e-8
+
+
+def test_plan_step_general_polish_option():
+    """options.polish on the general plan path recovers active-set
+    accuracy after moderate iterations."""
+    system, costs, constraints = full_setup()
+    plan = make_control_plan(system, costs, constraints)
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=800, polish=True))
+    U, sol, _ = step(jnp.asarray(SMALL_X0), None)
+    ref = ct.solve_mpc(system, costs, constraints,
+                       ct.SolverOptions(max_iter=20000))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.control),
+                               atol=2e-5)
