@@ -146,3 +146,58 @@ def test_bounded_system_n300_canary():
     _, vel, control = check_physics(res, "target")
     assert vel.max() <= X_UPPER[1] + 1e-6
     assert control.max() <= U_UPPER[0] + 1e-6
+
+
+def test_simple_trajectory_cost_equivalence():
+    """SimpleTrajectoryCost == TrajectoryCost with M = I, per-step and
+    full-horizon (reference TestTimeInvariantSystems.cpp:207-258)."""
+    system = ct.LTISystem.create(A, B, D, X0, 30)
+    u_cost = ct.ControlCost.create(N_MAT, UD, weights=WU)
+    bounds = [ct.ControlBoundConstraint.create(U_LOWER, U_UPPER)]
+    o = ct.SolverOptions(max_iter=3000)
+
+    r_full = ct.solve_mpc(system, [ct.TrajectoryCost.create(
+        M, XD, weights=WX), u_cost], bounds, o)
+    r_simple = ct.solve_mpc(system, [ct.SimpleTrajectoryCost.create(
+        XD, weights=WX), u_cost], bounds, o)
+    np.testing.assert_allclose(np.asarray(r_simple.control),
+                               np.asarray(r_full.control), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r_simple.trajectory),
+                               np.asarray(r_full.trajectory), atol=1e-8)
+    # full-horizon entry mode
+    n_x = 31
+    M_full = np.asarray(ct.span_matrix(M, 2 * n_x))
+    p_full = np.asarray(ct.span_vector(XD, 2 * n_x))
+    w_full = np.asarray(ct.span_vector(WX, 2 * n_x))
+    r_full2 = ct.solve_mpc(system, [ct.TrajectoryCost.create(
+        M_full, p_full, weights=w_full), u_cost], bounds, o)
+    r_simple2 = ct.solve_mpc(system, [ct.SimpleTrajectoryCost.create(
+        p_full, weights=w_full), u_cost], bounds, o)
+    np.testing.assert_allclose(np.asarray(r_simple2.control),
+                               np.asarray(r_full2.control), atol=1e-8)
+
+
+def test_simple_control_cost_equivalence():
+    """SimpleControlCost == ControlCost with N = I
+    (reference TestTimeInvariantSystems.cpp:259-309)."""
+    system = ct.LTISystem.create(A, B, D, X0, 30)
+    x_cost = ct.TargetCost.create(M, XD, weights=WX)
+    bounds = [ct.ControlBoundConstraint.create(U_LOWER, U_UPPER)]
+    o = ct.SolverOptions(max_iter=3000)
+
+    r_full = ct.solve_mpc(system, [x_cost, ct.ControlCost.create(
+        N_MAT, UD, weights=WU)], bounds, o)
+    r_simple = ct.solve_mpc(system, [x_cost, ct.SimpleControlCost.create(
+        UD, weights=WU)], bounds, o)
+    np.testing.assert_allclose(np.asarray(r_simple.control),
+                               np.asarray(r_full.control), atol=1e-8)
+    # full-horizon entry mode
+    N_full = np.asarray(ct.span_matrix(N_MAT, 30))
+    ud_full = np.asarray(ct.span_vector(UD, 30))
+    wu_full = np.asarray(ct.span_vector(WU, 30))
+    r_full2 = ct.solve_mpc(system, [x_cost, ct.ControlCost.create(
+        N_full, ud_full, weights=wu_full)], bounds, o)
+    r_simple2 = ct.solve_mpc(system, [x_cost, ct.SimpleControlCost.create(
+        ud_full, weights=wu_full)], bounds, o)
+    np.testing.assert_allclose(np.asarray(r_simple2.control),
+                               np.asarray(r_full2.control), atol=1e-8)
