@@ -21,8 +21,8 @@ from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
 from .plan import (ControlPlan, make_control_plan, make_plan_step, plan_qp,
                    plan_trajectory)
 from .qp.admm import solve_qp, solve_qp_batched
-from .qp.riccati import (StagewiseQP, lqr_solve, solve_mpc_stagewise,
-                         solve_stagewise)
+from .qp.riccati import (StagewiseQP, lqr_solve, lqr_solve_assoc,
+                         solve_mpc_stagewise, solve_stagewise)
 from .qp.registry import (available_solvers, get_solver, register_solver)
 from .qp.types import (DenseQP, QPSolution, SolverOptions, WarmStart,
                        STATUS_MAX_ITER, STATUS_SOLVED)
@@ -48,7 +48,8 @@ __all__ = [
     "STATUS_SOLVED", "STATUS_MAX_ITER",
     "solve_qp", "solve_qp_batched", "register_solver", "get_solver",
     "available_solvers",
-    "StagewiseQP", "lqr_solve", "solve_stagewise", "solve_mpc_stagewise",
+    "StagewiseQP", "lqr_solve", "lqr_solve_assoc", "solve_stagewise",
+    "solve_mpc_stagewise",
     "span_matrix", "span_vector",
     "CopraError", "DimensionError", "InitializationError", "SolverError",
 ]

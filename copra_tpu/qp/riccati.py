@@ -217,9 +217,107 @@ def lqr_solve(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
 
 
 @highest_precision
+def lqr_solve_assoc(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
+                    Ru: Array, ru: Array, x0: Array
+                    ) -> Tuple[Array, Array]:
+    """Log-depth LQ solve via ``lax.associative_scan`` — the genuine
+    sequence-parallel Riccati (SURVEY.md §5 long-context item).
+
+    Conditional value functions over stage intervals compose
+    associatively.  An interval is the 5-tuple ``(A, b, C, J, eta)``:
+    traveling ``x -> y`` costs ``1/2 x'Jx - eta'x`` plus minimum control
+    effort ``1/2 s' C^+ s`` for the displacement ``s = y - Ax - b``
+    (``C = B R^{-1} B'`` is the effort-weighted reachability Gramian).
+    The combine (earlier ``i``, later ``j``) is
+
+        M  = (I + C_i J_j)^{-1}
+        A  = A_j M A_i
+        b  = A_j M (b_i + C_i eta_j) + b_j
+        C  = A_j M C_i A_j' + C_j
+        eta= A_i' (I + J_j C_i)^{-1} (eta_j - J_j b_i) + eta_i
+        J  = A_i' (I + J_j C_i)^{-1} J_j A_i + J_i
+
+    — verified to machine precision against the serial Riccati recursion
+    (``test_riccati.py``).  The backward pass is one reverse associative
+    scan (O(log N) depth); gains are then elementwise; the closed-loop
+    forward rollout is a second (affine) associative scan.  Same
+    signature/result as :func:`lqr_solve`.
+    """
+    N, x = A.shape[0], A.shape[1]
+    dt = A.dtype
+    eye = jnp.eye(x, dtype=dt)
+
+    # per-stage interval elements; linear control cost ru is absorbed by
+    # the minimum-norm shift u -> u + R^{-1} ru
+    Rinv_ru = jnp.linalg.solve(Ru, ru[..., None])[..., 0]
+    BRB = jnp.einsum("kxu,kuv,kyv->kxy", B, jnp.linalg.inv(Ru), B)
+    elems = (
+        jnp.concatenate([A, eye[None]], axis=0),
+        jnp.concatenate([d - jnp.einsum("kxu,ku->kx", B, Rinv_ru),
+                         jnp.zeros((1, x), dt)], axis=0),
+        jnp.concatenate([BRB, jnp.zeros((1, x, x), dt)], axis=0),
+        jnp.concatenate([Qx[:-1], Qx[-1][None]], axis=0),
+        jnp.concatenate([-qx[:-1], -qx[-1][None]], axis=0),
+    )
+
+    def combine(ei, ej):
+        A1, b1, C1, J1, h1 = ei
+        A2, b2, C2, J2, h2 = ej
+        I = jnp.eye(A1.shape[-1], dtype=A1.dtype)
+
+        def mv(Mat, vec):
+            return jnp.einsum("...xy,...y->...x", Mat, vec)
+
+        M1 = jnp.linalg.inv(I + C1 @ J2)
+        M2 = jnp.linalg.inv(I + J2 @ C1)
+        Ac = A2 @ M1 @ A1
+        bc = mv(A2 @ M1, b1 + mv(C1, h2)) + b2
+        Cc = A2 @ M1 @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
+        hc = (jnp.einsum("...yx,...y->...x", A1,
+                         mv(M2, h2 - mv(J2, b1))) + h1)
+        Jc = jnp.swapaxes(A1, -1, -2) @ M2 @ J2 @ A1 + J1
+        return (Ac, bc, Cc, Jc, hc)
+
+    # reverse scan feeds operands as (later-suffix, earlier); our combine
+    # takes (earlier, later) — swap
+    suffix = lax.associative_scan(lambda a, b: combine(b, a), elems,
+                                  axis=0, reverse=True)
+    V = suffix[3]            # [N+1, x, x]: V_k
+    v = -suffix[4]           # [N+1, x]:    v_k
+
+    # per-step gains from V_{k+1}, v_{k+1} — elementwise (parallel)
+    Vn, vn = V[1:], v[1:]
+    Rb = Ru + jnp.einsum("kux,kxy,kyv->kuv", jnp.swapaxes(B, -1, -2),
+                         Vn, B)
+    G = jnp.einsum("kux,kxy,kyz->kuz", jnp.swapaxes(B, -1, -2), Vn, A)
+    h = ru + jnp.einsum("kux,kx->ku", jnp.swapaxes(B, -1, -2),
+                        vn + jnp.einsum("kxy,ky->kx", Vn, d))
+    Ks = -jnp.linalg.solve(Rb, G)
+    ks = -jnp.linalg.solve(Rb, h[..., None])[..., 0]
+
+    # closed-loop forward rollout as a second associative (affine) scan
+    M_cl = A + jnp.einsum("kxu,kuy->kxy", B, Ks)
+    c_cl = jnp.einsum("kxu,ku->kx", B, ks) + d
+
+    def aff_combine(fi, fj):
+        # fi earlier: x -> Mi x + ci, then fj
+        Mi, ci = fi
+        Mj, cj = fj
+        return (Mj @ Mi, jnp.einsum("...xy,...y->...x", Mj, ci) + cj)
+
+    Mp, cp = lax.associative_scan(aff_combine, (M_cl, c_cl), axis=0)
+    Xs = jnp.einsum("kxy,y->kx", Mp, x0) + cp       # x_1..x_N
+    X = jnp.concatenate([x0[None], Xs], axis=0)
+    U = jnp.einsum("kux,kx->ku", Ks, X[:-1]) + ks
+    return X, U
+
+
+@highest_precision
 def solve_stagewise(sqp: StagewiseQP,
                     options: SolverOptions = SolverOptions(),
-                    warm_start=None) -> Tuple[Array, Array, QPSolution]:
+                    warm_start=None,
+                    parallel_scan: bool = False
+                    ) -> Tuple[Array, Array, QPSolution]:
     """Box-constrained stagewise MPC by Riccati-in-ADMM.
 
     Split ``w = (X_1..N, U_0..N-1)`` vs its box projection ``z``; the
@@ -254,8 +352,9 @@ def solve_stagewise(sqp: StagewiseQP,
         # using relaxation state (sigma*w_prev handled via reg split)
         qx_k = sqp.qx - (rho * zX - yX) - sigma * wX
         ru_k = sqp.ru - (rho * zU - yU) - sigma * wU
-        X, U = lqr_solve(sqp.A, sqp.B, sqp.d, Qx_r, qx_k, Ru_r, ru_k,
-                         sqp.x0)
+        sweep = lqr_solve_assoc if parallel_scan else lqr_solve
+        X, U = sweep(sqp.A, sqp.B, sqp.d, Qx_r, qx_k, Ru_r, ru_k,
+                     sqp.x0)
         Xr = alpha * X + (1 - alpha) * zX
         Ur = alpha * U + (1 - alpha) * zU
         zX_n = jnp.clip(Xr + yX / rho, sqp.xlb, sqp.xub)
@@ -287,7 +386,12 @@ def solve_mpc_stagewise(system: System,
                         costs: Sequence[CostFunction] = (),
                         constraints: Sequence[Constraint] = (),
                         options: SolverOptions = SolverOptions(),
-                        warm_start=None):
-    """One-call stagewise solve mirroring :func:`copra_tpu.solve_mpc`."""
+                        warm_start=None,
+                        parallel_scan: bool = False):
+    """One-call stagewise solve mirroring :func:`copra_tpu.solve_mpc`.
+
+    ``parallel_scan=True`` runs every Riccati sweep in O(log N) depth via
+    ``lax.associative_scan`` (:func:`lqr_solve_assoc`).
+    """
     sqp = from_mpc(system, costs, constraints)
-    return solve_stagewise(sqp, options, warm_start)
+    return solve_stagewise(sqp, options, warm_start, parallel_scan)

@@ -114,3 +114,63 @@ def test_stagewise_rejects_coupling_costs():
                                           np.array([0.0]))
     with pytest.raises(ct.DimensionError):
         from_mpc(system, (), (ineq,))
+
+
+def test_lqr_assoc_matches_serial():
+    """Log-depth associative-scan LQR == serial Riccati to ~1e-10 on
+    random LTV problems (incl. linear cost terms and drift)."""
+    from copra_tpu.qp.riccati import lqr_solve_assoc
+    rng = np.random.default_rng(0)
+    for trial, (n, x, u) in enumerate([(8, 3, 2), (13, 2, 1), (32, 4, 3)]):
+        A_ = 0.8 * np.stack([np.eye(x)] * n) + 0.1 * rng.normal(
+            size=(n, x, x))
+        B_ = rng.normal(size=(n, x, u))
+        d_ = 0.1 * rng.normal(size=(n, x))
+        Qx = np.stack([np.eye(x) * w
+                       for w in rng.uniform(0.5, 2.0, n + 1)])
+        qx = rng.normal(size=(n + 1, x))
+        Ru = np.stack([np.eye(u) * w for w in rng.uniform(0.5, 2.0, n)])
+        ru = rng.normal(size=(n, u))
+        x0 = rng.normal(size=x)
+        args = tuple(map(jnp.asarray, (A_, B_, d_, Qx, qx, Ru, ru, x0)))
+        X1, U1 = ct.lqr_solve(*args)
+        X2, U2 = lqr_solve_assoc(*args)
+        np.testing.assert_allclose(np.asarray(U2), np.asarray(U1),
+                                   atol=1e-9, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(X2), np.asarray(X1),
+                                   atol=1e-9, err_msg=f"trial {trial}")
+
+
+def test_lqr_assoc_under_jit_and_vmap():
+    from copra_tpu.qp.riccati import lqr_solve_assoc
+    rng = np.random.default_rng(1)
+    n, x, u, batch = 10, 2, 1, 4
+    A_ = jnp.asarray(0.9 * np.stack([np.eye(x)] * n)
+                     + 0.05 * rng.normal(size=(n, x, x)))
+    B_ = jnp.asarray(rng.normal(size=(n, x, u)))
+    d_ = jnp.asarray(0.1 * rng.normal(size=(n, x)))
+    Qx = jnp.asarray(np.stack([np.eye(x)] * (n + 1)))
+    qx = jnp.zeros((n + 1, x))
+    Ru = jnp.asarray(np.stack([np.eye(u)] * n))
+    ru = jnp.zeros((n, u))
+    x0s = jnp.asarray(rng.normal(size=(batch, x)))
+
+    f = jax.jit(jax.vmap(
+        lambda x0: lqr_solve_assoc(A_, B_, d_, Qx, qx, Ru, ru, x0)))
+    Xb, Ub = f(x0s)
+    assert Xb.shape == (batch, n + 1, x)
+    X1, U1 = ct.lqr_solve(A_, B_, d_, Qx, qx, Ru, ru, x0s[2])
+    np.testing.assert_allclose(np.asarray(Ub[2]), np.asarray(U1),
+                               atol=1e-9)
+
+
+def test_stagewise_parallel_scan_matches_serial():
+    """Riccati-in-ADMM with the log-depth sweep == the serial sweep."""
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs, cons = costs_constraints()
+    o = ct.SolverOptions(max_iter=2000, early_exit=False)
+    X1, U1, _ = solve_mpc_stagewise(system, costs, cons, o)
+    X2, U2, _ = solve_mpc_stagewise(system, costs, cons, o,
+                                    parallel_scan=True)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(X2), np.asarray(X1), atol=1e-8)
