@@ -502,7 +502,12 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
         return r_prim, r_dual, (r_prim <= eps_prim) & (r_dual <= eps_dual)
 
     r_prim, r_dual, conv = residuals_unscaled(x, z, y)
-    status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
+    # non-finite data or iterates must never report success
+    # (SURVEY.md §5 failure-detection: jnp.isfinite guards)
+    finite = (jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(qp.Q))
+              & jnp.all(jnp.isfinite(qp.c)))
+    status = jnp.where(conv & finite, STATUS_SOLVED,
+                       STATUS_MAX_ITER).astype(jnp.int32)
     status = jnp.where(infeas_code > 0, infeas_code, status)
     return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,
                       primal_residual=r_prim, dual_residual=r_dual)

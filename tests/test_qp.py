@@ -176,3 +176,19 @@ def test_dual_infeasible_unbounded_below():
                            np.array([0.0, -1.0, 0.0]))
     sol = ct.solve_qp(qp, ct.SolverOptions(max_iter=2000, polish=False))
     assert int(sol.status) != ct.STATUS_SOLVED
+
+
+def test_nonfinite_inputs_never_report_solved():
+    """NaN/inf problem data must yield a failed status, not silent garbage
+    (SURVEY.md §5 failure-detection guard)."""
+    n = 4
+    Q = np.eye(n)
+    Q[0, 0] = np.nan
+    qp = ct.DenseQP.create(Q, np.zeros(n), lb=-np.ones(n), ub=np.ones(n))
+    sol = ct.solve_qp(qp, ct.SolverOptions(max_iter=50))
+    assert int(sol.status) != ct.STATUS_SOLVED
+
+    qp2 = ct.DenseQP.create(np.eye(n), np.full(n, np.inf),
+                            lb=-np.ones(n), ub=np.ones(n))
+    sol2 = ct.solve_qp(qp2, ct.SolverOptions(max_iter=50))
+    assert int(sol2.status) != ct.STATUS_SOLVED
