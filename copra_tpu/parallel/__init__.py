@@ -18,6 +18,7 @@ from .batch import (batch_axes, batch_size, solve_mpc_batch,
                     stack_systems, warm_start_axes)
 from .mesh import (batch_sharding, distributed_init, make_mesh,
                    make_sharded_mpc_step, shard_batch, sharded_solve_mpc)
+from .horizon import lqr_solve_sharded
 from .model import solve_qp_model_parallel
 
 __all__ = [
@@ -25,5 +26,5 @@ __all__ = [
     "warm_start_axes",
     "make_mesh", "batch_sharding", "shard_batch", "sharded_solve_mpc",
     "make_sharded_mpc_step", "distributed_init",
-    "solve_qp_model_parallel",
+    "solve_qp_model_parallel", "lqr_solve_sharded",
 ]

@@ -6,6 +6,7 @@ with identical options is the correctness oracle.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -59,3 +60,43 @@ def test_model_parallel_warm_start():
     e1 = np.abs(np.asarray(s1.x) - np.asarray(ref.x)).max()
     e2 = np.abs(np.asarray(s2.x) - np.asarray(ref.x)).max()
     assert e2 < e1
+
+
+def test_horizon_sharded_lqr_matches_serial():
+    """Horizon-sharded LQR over the 8-device mesh == serial Riccati.
+
+    The multi-chip sequence-parallel path: local associative scans +
+    one all_gather of per-shard interval elements (O(D x^2) traffic).
+    """
+    from copra_tpu.parallel.horizon import lqr_solve_sharded
+
+    rng = np.random.default_rng(5)
+    N, x, u = 32, 3, 2
+    A_ = jnp.asarray(0.85 * np.stack([np.eye(x)] * N)
+                     + 0.05 * rng.normal(size=(N, x, x)))
+    B_ = jnp.asarray(rng.normal(size=(N, x, u)))
+    d_ = jnp.asarray(0.1 * rng.normal(size=(N, x)))
+    Qx = jnp.asarray(np.stack([np.eye(x) * w
+                               for w in rng.uniform(0.5, 2.0, N + 1)]))
+    qx = jnp.asarray(rng.normal(size=(N + 1, x)))
+    Ru = jnp.asarray(np.stack([np.eye(u) * w
+                               for w in rng.uniform(0.5, 2.0, N)]))
+    ru = jnp.asarray(rng.normal(size=(N, u)))
+    x0 = jnp.asarray(rng.normal(size=x))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+    X1, U1 = ct.lqr_solve(A_, B_, d_, Qx, qx, Ru, ru, x0)
+    X2, U2 = lqr_solve_sharded(A_, B_, d_, Qx, qx, Ru, ru, x0, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U1), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(X2), np.asarray(X1), atol=1e-8)
+
+
+def test_horizon_sharded_lqr_rejects_indivisible():
+    from copra_tpu.parallel.horizon import lqr_solve_sharded
+    mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+    N, x, u = 30, 2, 1   # 30 % 8 != 0
+    Z = jnp.zeros
+    with pytest.raises(ValueError):
+        lqr_solve_sharded(Z((N, x, x)), Z((N, x, u)), Z((N, x)),
+                          Z((N + 1, x, x)), Z((N + 1, x)),
+                          Z((N, u, u)), Z((N, u)), Z((x,)), mesh=mesh)
