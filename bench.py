@@ -181,27 +181,31 @@ def main():
     solves_per_s = batch * steps / elapsed
     x0s = np.asarray(x0_seq[steps + 1])   # accuracy gate: last tick's QP
 
-    # honesty gate: lane 0 of the timed result vs the exact (f64, native
-    # active-set) solution of the same QP
+    # honesty gate: several lanes of the timed result vs the exact (f64,
+    # native active-set) solutions of the same QPs
     err = None
     try:
         from copra_tpu.plan import make_control_plan, plan_qp
         from copra_tpu.qp.native import solve_qp_native
-        sys0 = ct.LTVSystem(A=jnp.asarray(As[0]), B=jnp.asarray(Bs[0]),
-                            d=jnp.asarray(ds[0]),
-                            x0=jnp.asarray(x0s[0]))
-        plan0 = make_control_plan(sys0, costs, constraints)
-        qp0 = plan_qp(plan0, sys0.x0)
-        n0 = qp0.Q.shape[-1]
-        exact = solve_qp_native(ct.DenseQP(
-            Q=np.asarray(qp0.Q, np.float64),
-            c=np.asarray(qp0.c, np.float64),
-            Aeq=np.zeros((0, n0)), beq=np.zeros((0,)),
-            Aineq=np.zeros((0, n0)), bineq=np.zeros((0,)),
-            lb=np.asarray(qp0.lb, np.float64),
-            ub=np.asarray(qp0.ub, np.float64)))
-        err = float(np.abs(np.asarray(u[0], np.float64)
-                           - np.asarray(exact.x)).max())
+        errs = []
+        for lane in (0, 1, 17, batch - 1):
+            sysl = ct.LTVSystem(A=jnp.asarray(As[lane]),
+                                B=jnp.asarray(Bs[lane]),
+                                d=jnp.asarray(ds[lane]),
+                                x0=jnp.asarray(x0s[lane]))
+            planl = make_control_plan(sysl, costs, constraints)
+            qpl = plan_qp(planl, sysl.x0)
+            n0 = qpl.Q.shape[-1]
+            exact = solve_qp_native(ct.DenseQP(
+                Q=np.asarray(qpl.Q, np.float64),
+                c=np.asarray(qpl.c, np.float64),
+                Aeq=np.zeros((0, n0)), beq=np.zeros((0,)),
+                Aineq=np.zeros((0, n0)), bineq=np.zeros((0,)),
+                lb=np.asarray(qpl.lb, np.float64),
+                ub=np.asarray(qpl.ub, np.float64)))
+            errs.append(float(np.abs(np.asarray(u[lane], np.float64)
+                                     - np.asarray(exact.x)).max()))
+        err = max(errs)
     except Exception:
         pass
 
@@ -213,7 +217,7 @@ def main():
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
     }
     if err is not None:
-        out["max_err_vs_exact_lane0"] = round(err, 8)
+        out["max_err_vs_exact_4lanes"] = round(err, 8)
     print(json.dumps(out))
 
 
