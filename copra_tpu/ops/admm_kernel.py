@@ -187,7 +187,7 @@ def fused_admm_general(Kinv: Array, C: Array, c: Array,
                        l: Array, u: Array, rho: Array,
                        x0: Array, y0: Array, z0: Array, *,
                        n_iter: int, sigma: float, alpha: float,
-                       sub_batch: int = 4,
+                       sub_batch: int = 8,
                        interpret: bool = False) -> Tuple[Array, Array, Array]:
     """General fused ADMM: ``Kinv [B,n,n]``, ``C [B,m,n]``, ``c/x0 [B,n]``,
     ``l/u/rho/y0/z0 [B,m]``.  Returns ``(x, y, z)``."""
