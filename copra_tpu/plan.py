@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os
+
 from ._precision import highest_precision
 from .constraints import Constraint
 from .costs import CostFunction
@@ -270,7 +272,9 @@ def make_plan_step(plan: ControlPlan,
             e, y, ze = fused_admm_box(
                 Kb, Kfb, czero, lb, ub, we, wy, wz,
                 n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
-                rho=opts.rho, refine=refine, sub_batch=32,
+                rho=opts.rho, refine=refine,
+                sub_batch=int(os.environ.get("COPRA_FUSED_SUB_BATCH",
+                                             "32")),
                 interpret=jax.default_backend() not in ("tpu", "axon"))
             x = x_seed + e
             z = x_seed + ze
