@@ -66,3 +66,24 @@ def save_warm_start(path: str, warm, tick: int = 0, **meta) -> None:
 def load_warm_start(path: str, like) -> Tuple[Any, int]:
     warm, meta = load_pytree(path, like)
     return warm, int(meta.get("tick", 0))
+
+
+def save_pytree_orbax(path: str, tree: Any) -> None:
+    """Save a pytree with orbax (production checkpointing: async-capable,
+    sharding-aware — the right backend for multi-host serving state).
+
+    ``path`` must be an absolute directory path.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_pytree_orbax(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_pytree_orbax`; ``like``
+    supplies structure/shapes/dtypes (and shardings on multi-host)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=like)

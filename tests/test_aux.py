@@ -88,3 +88,19 @@ def test_examples_run_clean(tmp_path):
         horizon=60, options=__import__("copra_tpu").SolverOptions(
             max_iter=2000))
     assert (np.asarray(zmp) <= hi[:, :61] + 1e-5).all()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Production (orbax) checkpoint backend round-trips warm-start state."""
+    from copra_tpu.checkpoint import load_pytree_orbax, save_pytree_orbax
+    warm = __import__("copra_tpu").WarmStart(
+        x=jnp.arange(6.0), y=jnp.ones(9), z=jnp.zeros(9))
+    path = os.path.join(str(tmp_path), "warm_ckpt")
+    save_pytree_orbax(path, warm)
+    like = __import__("copra_tpu").WarmStart(
+        x=jnp.zeros(6), y=jnp.zeros(9), z=jnp.zeros(9))
+    restored = load_pytree_orbax(path, like)
+    np.testing.assert_array_equal(np.asarray(restored.x),
+                                  np.asarray(warm.x))
+    np.testing.assert_array_equal(np.asarray(restored.y),
+                                  np.asarray(warm.y))
