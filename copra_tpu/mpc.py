@@ -299,6 +299,24 @@ class LMPC:
         self._require_result()
         return self._result.solution.inform()
 
+    def as_plan(self, options: Optional[SolverOptions] = None,
+                batched: bool = False):
+        """Freeze the registered costs/constraints into a serving plan.
+
+        Returns ``(plan, step)`` from :mod:`copra_tpu.plan`: condensing, QP
+        assembly, and the KKT factorization are done once here; ``step(x0,
+        warm)`` then runs production receding-horizon ticks (no analog in
+        the reference — its default solver re-prepares every call,
+        ``src/solvers/qpOASESSolver.cpp:114-118``).
+        """
+        from .plan import make_control_plan, make_plan_step
+
+        plan = make_control_plan(self._system, tuple(self._costs),
+                                 tuple(self._constraints))
+        step = make_plan_step(plan, options or self._options,
+                              batched=batched)
+        return plan, step
+
     def _require_result(self) -> None:
         if self._result is None:
             raise InitializationError("call solve() first.")

@@ -193,3 +193,19 @@ def test_plan_step_general_polish_option():
                        ct.SolverOptions(max_iter=20000))
     np.testing.assert_allclose(np.asarray(U), np.asarray(ref.control),
                                atol=2e-5)
+
+
+def test_lmpc_as_plan():
+    """LMPC.as_plan(): the facade's registry freezes into a serving plan
+    that reproduces controller.solve()."""
+    system, costs, constraints = full_setup()
+    controller = ct.LMPC(system, options=ct.SolverOptions(max_iter=3000))
+    for c in costs:
+        controller.add_cost(c)
+    for c in constraints:
+        controller.add_constraint(c)
+    assert controller.solve()
+    plan, step = controller.as_plan()
+    U, sol, _ = step(jnp.asarray(SMALL_X0), None)
+    np.testing.assert_allclose(np.asarray(U),
+                               np.asarray(controller.control()), atol=1e-5)
