@@ -20,7 +20,7 @@ x0 = np.array([0.0, -5.0])                     # start falling at 5 m/s
 
 system = ct.LTISystem.create(A, B, d, x0, horizon=300)
 controller = ct.LMPC(system, options=ct.SolverOptions(
-    max_iter=4000, eps_abs=1e-6, eps_rel=1e-6))
+    max_iter=8000, eps_abs=1e-7, eps_rel=0.0))
 
 # drive velocity to -1 m/s, prefer small force
 controller.add_cost(ct.TargetCost.create(np.eye(2), [0.0, -1.0],
