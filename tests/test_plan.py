@@ -209,3 +209,26 @@ def test_lmpc_as_plan():
     U, sol, _ = step(jnp.asarray(SMALL_X0), None)
     np.testing.assert_allclose(np.asarray(U),
                                np.asarray(controller.control()), atol=1e-5)
+
+
+def test_plan_step_with_equality_rows():
+    """Equality rows through the general plan fast path (rho_eq boost +
+    affine beq): pins the position like the reference EqSystem."""
+    from fixtures import EQ_E, EQ_P, EQ_X0
+    system = ct.LTISystem.create(A, B, D, EQ_X0, 40)
+    costs = (ct.TargetCost.create(M, np.zeros(2), weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.TrajectoryConstraint.create(EQ_E, EQ_P,
+                                                  is_inequality=False),)
+    plan = make_control_plan(system, costs, constraints)
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=4000,
+                                                 polish=True))
+    U, sol, _ = step(jnp.asarray(EQ_X0), None)
+    X = plan_trajectory(plan, jnp.asarray(EQ_X0), U)
+    pos = np.asarray(X)[0::2]
+    assert np.abs(pos).max() <= 1e-6
+    ref = ct.solve_mpc(system, costs, constraints,
+                       ct.SolverOptions(max_iter=8000, eps_abs=1e-7,
+                                        eps_rel=0.0))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.control),
+                               atol=1e-4)
