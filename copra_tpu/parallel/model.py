@@ -79,6 +79,18 @@ def solve_qp_model_parallel(qp: DenseQP,
     C, l, u, rho, m_true = shard_constraints(qp, options, n_shards)
     m = C.shape[0]
 
+    if options.row_normalize:
+        # same exact row reparametrization as the single-device solver
+        # (uniform dual pressure); duals are returned in the original
+        # metric below
+        rn = jnp.sqrt(jnp.sum(C * C, axis=-1))
+        E = jnp.where(rn > 1e-12, 1.0 / rn, 1.0)
+    else:
+        E = jnp.ones((m,), dt)
+    C = C * E[:, None]
+    l = E * l
+    u = E * u
+
     sigma = jnp.asarray(options.sigma, dt)
     alpha = jnp.asarray(options.alpha, dt)
 
@@ -121,8 +133,8 @@ def solve_qp_model_parallel(qp: DenseQP,
 
     if warm_start is not None:
         x0 = warm_start.x
-        y0 = _pad_rows(warm_start.y, m, 0.0)
-        z0 = _pad_rows(warm_start.z, m, 0.0)
+        y0 = _pad_rows(warm_start.y, m, 0.0) / E
+        z0 = _pad_rows(warm_start.z, m, 0.0) * E
     else:
         x0 = jnp.zeros((n,), dt)
         y0 = jnp.zeros((m,), dt)
@@ -135,6 +147,9 @@ def solve_qp_model_parallel(qp: DenseQP,
         out_specs=(P(), P(axis), P(axis), P(), P()),
         check_vma=False)
     x, z, y, r_prim, r_dual = jax.jit(mapped)(C, l, u, rho, x0, y0, z0)
+    # back to the original row metric
+    y = E * y
+    z = z / E
 
     eps_floor = 25.0 * float(jnp.finfo(dt).eps)
     conv = ((r_prim <= max(options.eps_abs, eps_floor) * 10)

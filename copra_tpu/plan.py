@@ -363,12 +363,21 @@ def make_plan_step(plan: ControlPlan,
             dt = plan_s.Q.dtype
             C = jnp.concatenate([plan_s.Aeq, plan_s.Aineq,
                                  jnp.eye(n_plan, dtype=dt)], axis=0)
+            if opts.row_normalize:
+                # exact reparametrization: uniform dual pressure across
+                # rows (see qp.admm — the ZMP config needs ~6x fewer
+                # iterations normalized)
+                rn = jnp.sqrt(jnp.sum(C * C, axis=-1))
+                E = jnp.where(rn > 1e-12, 1.0 / rn, 1.0)
+            else:
+                E = jnp.ones((C.shape[0],), dt)
+            C = C * E[:, None]
             rho_vec = jnp.concatenate([
                 jnp.full((me,), opts.rho * opts.rho_eq_scale, dt),
                 jnp.full((mi + n_plan,), opts.rho, dt)])
             K = (plan_s.Q + opts.sigma * jnp.eye(n_plan, dtype=dt)
                  + (C.T * rho_vec) @ C)
-            return C, rho_vec, K, _jacobi_inverse(K)
+            return C, E, rho_vec, K, _jacobi_inverse(K)
 
         if q_batched:
             # vmap the state builder over whichever plan leaves are batched
@@ -379,15 +388,16 @@ def make_plan_step(plan: ControlPlan,
             state_axes = jax.tree_util.tree_map(
                 lambda leaf, nd: 0 if leaf.ndim > nd else None, plan,
                 base_rank)
-            C_pre, rho_pre, K_pre, Kinv_pre = jax.jit(jax.vmap(
+            (C_pre, E_pre, rho_pre, K_pre,
+             Kinv_pre) = jax.jit(jax.vmap(
                 _general_fast_state, in_axes=(state_axes,)))(plan)
         else:
-            C_pre, rho_pre, K_pre, Kinv_pre = jax.jit(
+            C_pre, E_pre, rho_pre, K_pre, Kinv_pre = jax.jit(
                 lambda: _general_fast_state(plan))()
         seed_map = make_seed_map(plan, center=seed_center)
 
         @highest_precision
-        def single(plan_s, C, rho_vec, K, Kinv, seed, x0, warm):
+        def single(plan_s, C, E, rho_vec, K, Kinv, seed, x0, warm):
             dt = plan_s.Q.dtype
             m = C.shape[0]
             sigma = jnp.asarray(opts.sigma, dt)
@@ -399,9 +409,9 @@ def make_plan_step(plan: ControlPlan,
 
             beq = plan_s.beq0 + x0 @ plan_s.Beqmap
             bineq = plan_s.bineq0 + x0 @ plan_s.Bineqmap
-            l = jnp.concatenate([beq, jnp.full((mi,), -jnp.inf, dt),
-                                 plan_s.lb])
-            u = jnp.concatenate([beq, bineq, plan_s.ub])
+            l = E * jnp.concatenate([beq, jnp.full((mi,), -jnp.inf, dt),
+                                     plan_s.lb])
+            u = E * jnp.concatenate([beq, bineq, plan_s.ub])
 
             # correction space around the unconstrained seed
             x_seed = seed.seed(x0)
@@ -410,7 +420,8 @@ def make_plan_step(plan: ControlPlan,
             u_e = u - Cxs
             e0 = jnp.zeros((n_plan,), dt)
             z0 = jnp.clip(jnp.zeros((m,), dt), l_e, u_e)
-            y0 = jnp.zeros((m,), dt) if warm is None else warm.y
+            # external warm duals are in the original row metric
+            y0 = jnp.zeros((m,), dt) if warm is None else warm.y / E
 
             def body(_, st):
                 e, z, y = st
@@ -445,12 +456,13 @@ def make_plan_step(plan: ControlPlan,
             eps = max(opts.eps_abs, 25.0 * float(jnp.finfo(dt).eps))
             conv = (r_prim <= eps + opts.eps_rel * jnp.max(jnp.abs(C @ x))) \
                 & (r_dual <= eps + opts.eps_rel * jnp.max(jnp.abs(grad)))
+            y_orig = E * y                 # back to the original metric
             sol = QPSolution(
-                x=x, y=y, z=Cxs + z,
+                x=x, y=y_orig, z=Cxs + z,
                 status=jnp.where(conv, 0, 1).astype(jnp.int32),
                 iterations=jnp.asarray(opts.max_iter, jnp.int32),
                 primal_residual=r_prim, dual_residual=r_dual)
-            return x, sol, WarmStart(x=x, y=y, z=Cxs + z)
+            return x, sol, WarmStart(x=x, y=y_orig, z=Cxs + z)
 
     # NOTE: the large precomputed arrays (plan leaves, Kinv) must flow in as
     # jit ARGUMENTS, not closure constants — constants get baked into the
@@ -461,8 +473,9 @@ def make_plan_step(plan: ControlPlan,
         if box_only:
             return lambda x0, warm: jit_single(plan, Kinv_pre, K_pre,
                                                seed_map, x0, warm)
-        return lambda x0, warm: jit_single(plan, C_pre, rho_pre, K_pre,
-                                           Kinv_pre, seed_map, x0, warm)
+        return lambda x0, warm: jit_single(plan, C_pre, E_pre, rho_pre,
+                                           K_pre, Kinv_pre, seed_map, x0,
+                                           warm)
 
     def _axes(plan_b):
         # leaves with a leading batch axis get mapped; shared leaves
@@ -493,13 +506,14 @@ def make_plan_step(plan: ControlPlan,
     kax = 0 if q_batched else None
 
     @jax.jit
-    def stepb_gen(plan_b, C, rho_vec, K, Kinv, seed, x0_b, warm_b):
+    def stepb_gen(plan_b, C, E, rho_vec, K, Kinv, seed, x0_b, warm_b):
         warm_axes = WarmStart(x=0, y=0, z=0) if warm_b is not None else None
         seed_axes = SeedMap(u0=kax, Umap=kax, x0c=kax)
         return jax.vmap(single,
-                        in_axes=(_axes(plan_b), kax, kax, kax, kax,
+                        in_axes=(_axes(plan_b), kax, kax, kax, kax, kax,
                                  seed_axes, 0, warm_axes))(
-            plan_b, C, rho_vec, K, Kinv, seed, x0_b, warm_b)
+            plan_b, C, E, rho_vec, K, Kinv, seed, x0_b, warm_b)
 
     return lambda plan_b, x0_b, warm_b: stepb_gen(
-        plan_b, C_pre, rho_pre, K_pre, Kinv_pre, seed_map, x0_b, warm_b)
+        plan_b, C_pre, E_pre, rho_pre, K_pre, Kinv_pre, seed_map, x0_b,
+        warm_b)

@@ -204,11 +204,22 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
             qp.Q, qp.c, C, options.scaling)
         ls, us = E * l, E * u
     else:
-        Qs, cs, Cs = qp.Q, qp.c, C
+        Qs, cs = qp.Q, qp.c
         D = jnp.ones((n,), dt)
-        E = jnp.ones((m,), dt)
         cost_s = jnp.ones((), dt)
-        ls, us = l, u
+        if options.row_normalize and not box_only:
+            # Row-normalize the constraint rows (an exact reparametrization
+            # reusing the E-scaling transforms below).  Without it, rows
+            # whose norms span orders of magnitude (e.g. early-horizon
+            # trajectory rows, ~0..1 on the ZMP config) get vanishing dual
+            # pressure at uniform rho: the N=300 ZMP preview needed ~3000
+            # iterations raw vs <500 normalized, at zero true violation.
+            rn = jnp.sqrt(jnp.sum(C * C, axis=-1))
+            E = jnp.where(rn > 1e-12, 1.0 / rn, 1.0)
+        else:
+            E = jnp.ones((m,), dt)
+        Cs = C * E[:, None]
+        ls, us = E * l, E * u
     D_inv, E_inv = 1.0 / D, 1.0 / E
     rho_inv = 1.0 / rho
 

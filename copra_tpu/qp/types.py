@@ -156,6 +156,9 @@ class SolverOptions:
     #                               accelerators: one matvec per iteration)
     scaling: int = 0              # Ruiz equilibration iterations (0 = off;
     #                               pair with rho tuning when enabling)
+    row_normalize: bool = True    # normalize eq/ineq row norms (exact
+    #                               reparametrization; uniform dual
+    #                               pressure across rows)
     kkt_refine: int = -1          # refinement steps in the inverse KKT
     #                               solve; -1 = auto (1 in f32, 0 in f64)
 

@@ -30,7 +30,10 @@ def golden_qp():
 
 def test_model_parallel_matches_single_device():
     qp = golden_qp()
-    opts = ct.SolverOptions(max_iter=1500, early_exit=False, polish=False)
+    # fixed-rho lockstep path: run both sides in the original row metric
+    # (row normalization needs adaptive rho to pay off on this problem)
+    opts = ct.SolverOptions(max_iter=1500, early_exit=False, polish=False,
+                            row_normalize=False)
     ref = ct.solve_qp(qp, opts)
     mesh = Mesh(np.asarray(jax.devices()), ("model",))
     sol = solve_qp_model_parallel(qp, opts, mesh=mesh)
@@ -41,7 +44,8 @@ def test_model_parallel_matches_single_device():
 def test_model_parallel_golden_control():
     from fixtures import GOLDEN_CONTROL
     qp = golden_qp()
-    opts = ct.SolverOptions(max_iter=4000, early_exit=False, polish=False)
+    opts = ct.SolverOptions(max_iter=4000, early_exit=False, polish=False,
+                            row_normalize=False)
     mesh = Mesh(np.asarray(jax.devices()), ("model",))
     sol = solve_qp_model_parallel(qp, opts, mesh=mesh)
     np.testing.assert_allclose(np.asarray(sol.x), GOLDEN_CONTROL, atol=2e-3)
@@ -49,7 +53,8 @@ def test_model_parallel_golden_control():
 
 def test_model_parallel_warm_start():
     qp = golden_qp()
-    opts = ct.SolverOptions(max_iter=800, early_exit=False, polish=False)
+    opts = ct.SolverOptions(max_iter=800, early_exit=False, polish=False,
+                            row_normalize=False)
     mesh = Mesh(np.asarray(jax.devices()), ("model",))
     s1 = solve_qp_model_parallel(qp, opts, mesh=mesh)
     warm = ct.WarmStart(x=s1.x, y=s1.y, z=s1.z)

@@ -227,8 +227,10 @@ def test_plan_step_with_equality_rows():
     X = plan_trajectory(plan, jnp.asarray(EQ_X0), U)
     pos = np.asarray(X)[0::2]
     assert np.abs(pos).max() <= 1e-6
-    ref = ct.solve_mpc(system, costs, constraints,
-                       ct.SolverOptions(max_iter=8000, eps_abs=1e-7,
-                                        eps_rel=0.0))
-    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.control),
+    # oracle: the exact native solution (a slightly-violating first-order
+    # answer can differ wildly in U because the raw eq rows have ~1e-5
+    # norms — the very pathology row normalization removes)
+    from copra_tpu.qp.native import solve_qp_native
+    exact = solve_qp_native(plan_qp(plan, jnp.asarray(EQ_X0)))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(exact.x),
                                atol=1e-4)
