@@ -172,8 +172,8 @@ def test_plan_step_bipedal_zmp_config():
                    ct.TrajectoryConstraint(E=jnp.asarray(-Zfull),
                                            f=jnp.asarray(-lo[0])))
     plan = make_control_plan(system, costs, constraints)
-    # 602 tight inequality rows at N=300 need the long iteration budget
-    step = make_plan_step(plan, ct.SolverOptions(max_iter=8000))
+    # row normalization (qp.admm) makes 2000 iterations plenty here
+    step = make_plan_step(plan, ct.SolverOptions(max_iter=2000))
     U, sol, _ = step(jnp.zeros(3), None)
     X = plan_trajectory(plan, jnp.zeros(3), U)
     zmp = np.asarray(Zfull @ X)
