@@ -340,6 +340,17 @@ def solve_stagewise(sqp: StagewiseQP,
 
     if warm_start is not None:
         zX0, zU0, yX0, yU0 = warm_start
+    elif options.seed != "zero":
+        # seed at the clipped unconstrained optimum (one extra sweep):
+        # golden-tolerance convergence in ~500 iterations vs ~5e-3 error
+        # at 2000 from zeros on the reference fixture
+        sweep0 = lqr_solve_assoc if parallel_scan else lqr_solve
+        Xu, Uu = sweep0(sqp.A, sqp.B, sqp.d, sqp.Qx, sqp.qx, sqp.Ru,
+                        sqp.ru, sqp.x0)
+        zX0 = jnp.clip(Xu, sqp.xlb, sqp.xub)
+        zU0 = jnp.clip(Uu, sqp.ulb, sqp.uub)
+        yX0 = jnp.zeros((N + 1, x), dt)
+        yU0 = jnp.zeros((N, u), dt)
     else:
         zX0 = jnp.zeros((N + 1, x), dt)
         zU0 = jnp.zeros((N, u), dt)

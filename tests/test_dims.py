@@ -108,7 +108,7 @@ def test_multidim_stagewise_matches_condensed():
                        ct.SolverOptions(max_iter=8000, eps_abs=1e-7,
                                         eps_rel=0.0))
     _, Us, _ = solve_mpc_stagewise(system, costs, cons,
-                                   ct.SolverOptions(max_iter=10000,
+                                   ct.SolverOptions(max_iter=2000,
                                                     early_exit=False))
     np.testing.assert_allclose(np.asarray(Us).reshape(-1),
                                np.asarray(ref.control), atol=5e-5)

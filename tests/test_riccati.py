@@ -44,7 +44,7 @@ def test_stagewise_golden():
     costs, cons = costs_constraints()
     Xs, Us, info = solve_mpc_stagewise(
         system, costs, cons,
-        ct.SolverOptions(max_iter=10000, early_exit=False))
+        ct.SolverOptions(max_iter=1500, early_exit=False))
     assert int(info.status) == ct.STATUS_SOLVED
     np.testing.assert_allclose(np.asarray(Us).ravel(), GOLDEN_CONTROL,
                                atol=2e-4)
@@ -60,7 +60,7 @@ def test_stagewise_ltv():
     from fixtures import GOLDEN_LTV_CONTROL
     Xs, Us, info = solve_mpc_stagewise(
         system, costs, cons,
-        ct.SolverOptions(max_iter=10000, early_exit=False))
+        ct.SolverOptions(max_iter=1500, early_exit=False))
     np.testing.assert_allclose(np.asarray(Us).ravel(), GOLDEN_LTV_CONTROL,
                                atol=2e-4)
 
