@@ -2,11 +2,24 @@
 
 A from-scratch JAX/XLA/Pallas re-design of the capability surface of
 ANYbotics/copra (C++ Eigen + qpOASES, mounted read-only at
-``/root/reference``): condensed preview matrices, composable costs and
-constraints lowered into one dense QP, and a batched on-device ADMM solver
-with warm starts and active-set polish — jittable, vmappable, and sharded
-over device meshes.  See ``SURVEY.md`` for the structural analysis of the
-reference and the parity contract.
+``/root/reference``):
+
+* condensed preview matrices (scan or log-depth associative scan),
+  composable costs/constraints lowered into one dense QP;
+* a batched on-device ADMM solver (full-precision matmuls, row
+  normalization, adaptive rho, unconstrained seeding, active-set polish,
+  infeasibility certificates) cross-validated against an in-repo C++
+  exact active-set oracle (``native/``);
+* a stagewise Riccati solver with serial, associative (O(log N)) and
+  horizon-sharded sweeps;
+* precompiled control plans for receding-horizon serving (x0-affine QP
+  extraction, factorize-once ticks, host-f64 seed maps);
+* scenario-DP / model-TP / horizon-SP parallel layers over device meshes;
+* Pallas fused-iteration kernels; end-to-end differentiability.
+
+See ``SURVEY.md`` for the structural analysis of the reference,
+``PARITY.md`` for the component map, and ``docs/PERFORMANCE.md`` for the
+measured numbers and the f32-numerics ground rules.
 """
 
 from .autospan import span_matrix, span_vector
