@@ -38,7 +38,8 @@ from .qp.riccati import (StagewiseQP, lqr_solve, lqr_solve_assoc,
                          solve_mpc_stagewise, solve_stagewise)
 from .qp.registry import (available_solvers, get_solver, register_solver)
 from .qp.types import (DenseQP, QPSolution, SolverOptions, WarmStart,
-                       STATUS_MAX_ITER, STATUS_SOLVED)
+                       STATUS_MAX_ITER, STATUS_PRIMAL_INFEASIBLE,
+                       STATUS_DUAL_INFEASIBLE, STATUS_SOLVED)
 from .systems import (LTISystem, LTVSystem, Preview, condense, condense_lti,
                       condense_lti_assoc, condense_ltv, condense_ltv_assoc,
                       lti_as_ltv, replay_dynamics)
@@ -58,7 +59,8 @@ __all__ = [
     "ControlConstraint", "MixedConstraint", "TrajectoryBoundConstraint",
     "ControlBoundConstraint",
     "DenseQP", "QPSolution", "SolverOptions", "WarmStart",
-    "STATUS_SOLVED", "STATUS_MAX_ITER",
+    "STATUS_SOLVED", "STATUS_MAX_ITER", "STATUS_PRIMAL_INFEASIBLE",
+    "STATUS_DUAL_INFEASIBLE",
     "solve_qp", "solve_qp_batched", "register_solver", "get_solver",
     "available_solvers",
     "StagewiseQP", "lqr_solve", "lqr_solve_assoc", "solve_stagewise",

@@ -48,12 +48,26 @@ def load_pytree(path: str, like: Any) -> Tuple[Any, Dict]:
 
     ``like`` supplies the tree structure (a template pytree with the same
     shape of nesting, e.g. a cold-start ``WarmStart``); leaves are restored
-    in flatten order and placed on the default device.
+    in flatten order and placed on the default device.  The stored tree
+    structure and leaf shapes are validated against ``like`` — restoring
+    with a mismatched template raises instead of silently reassigning
+    leaves by flatten order.
     """
     with np.load(path) as data:
         flat_like, treedef = jax.tree_util.tree_flatten(like)
+        saved_treedef = bytes(data["__treedef__"]).decode()
+        if saved_treedef != str(treedef):
+            raise ValueError(
+                f"checkpoint tree structure mismatch:\n  saved: "
+                f"{saved_treedef}\n  template: {treedef}")
         leaves = [jnp.asarray(data[f"leaf_{i}"])
                   for i in range(len(flat_like))]
+        for i, (saved, tmpl) in enumerate(zip(leaves, flat_like)):
+            tshape = getattr(tmpl, "shape", None)
+            if tshape is not None and tuple(saved.shape) != tuple(tshape):
+                raise ValueError(
+                    f"checkpoint leaf {i} shape mismatch: saved "
+                    f"{tuple(saved.shape)} vs template {tuple(tshape)}")
         meta = json.loads(bytes(data["__meta__"]).decode())
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
 

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ._precision import highest_precision
-from .constraints import Constraint, ConstraintKind
+from .constraints import (Constraint, ConstraintKind, ControlBoundConstraint,
+                          ControlConstraint)
 from .costs import CostFunction
 from .errors import InitializationError
 from .qp.registry import get_solver
@@ -203,8 +204,10 @@ class LMPC:
                 f"registered; the reference forbids re-initialization of "
                 f"move-semantics constraints (src/constraints.cpp:103-104).")
         constr.validate(self._preview)
-        if type(constr).__name__ in ("ControlConstraint",
-                                     "ControlBoundConstraint"):
+        # isinstance, not a name check: user subclasses must keep the
+        # move-semantics double-init guard of the reference
+        # (src/constraints.cpp:103-104,293-294)
+        if isinstance(constr, (ControlConstraint, ControlBoundConstraint)):
             object.__setattr__(constr, "_consumed", True)
         self._constraints.append(constr)
         self._jitted = None
@@ -254,6 +257,11 @@ class LMPC:
 
         ``warm_start=True`` reuses the previous solution's ADMM state —
         the receding-horizon fast path.
+
+        Note for serving: this facade re-traces when the registry changes
+        and pays per-call dispatch; the production serving path is
+        :meth:`as_plan` (condense + assembly + KKT factorization once,
+        then cheap per-tick steps).
         """
         t0 = time.perf_counter()
         if self._jitted is None:

@@ -278,13 +278,37 @@ def make_plan_step(plan: ControlPlan,
                 interpret=jax.default_backend() not in ("tpu", "axon"))
             x = x_seed + e
             z = x_seed + ze
+            # honest per-lane status: same convergence check as the XLA
+            # `single` path — unconverged lanes report STATUS_MAX_ITER and
+            # the true dual residual, never a hardcoded success
             r_prim = jnp.max(jnp.abs(e - ze), axis=-1)
+            if plan_b.Cmap.ndim == 3:
+                c_tick = plan_b.c0 + jnp.einsum("bx,bxn->bn", x0_b,
+                                                plan_b.Cmap)
+            else:
+                c_tick = plan_b.c0 + x0_b @ plan_b.Cmap
+            Qx = jnp.einsum("...nm,...m->...n",
+                            jnp.broadcast_to(plan_b.Q, (batch_n, n, n)), x)
+            grad = Qx + c_tick + y
+            r_dual = jnp.max(jnp.abs(grad), axis=-1)
+            # OSQP tolerance convention (same as solve_qp): relative to the
+            # magnitudes of the KKT terms, with the f32 floor on both eps
+            eps_floor = 25.0 * float(jnp.finfo(jnp.float32).eps)
+            eps = max(opts.eps_abs, eps_floor)
+            eps_rel = max(opts.eps_rel, eps_floor)
+            d_scale = jnp.maximum(
+                jnp.max(jnp.abs(Qx), axis=-1),
+                jnp.maximum(jnp.max(jnp.abs(y), axis=-1),
+                            jnp.max(jnp.abs(c_tick), axis=-1)))
+            conv = ((r_prim <= eps
+                     + eps_rel * jnp.max(jnp.abs(x), axis=-1))
+                    & (r_dual <= eps + eps_rel * d_scale))
             sol = QPSolution(
                 x=x, y=y, z=z,
-                status=jnp.zeros((batch_n,), jnp.int32),
+                status=jnp.where(conv, 0, 1).astype(jnp.int32),
                 iterations=jnp.full((batch_n,), opts.max_iter, jnp.int32),
                 primal_residual=r_prim,
-                dual_residual=jnp.zeros((batch_n,), jnp.float32))
+                dual_residual=r_dual)
             return x, sol, WarmStart(x=x, y=y, z=z)
 
         return lambda plan_b, x0_b, warm_b: fused_step(
@@ -336,11 +360,17 @@ def make_plan_step(plan: ControlPlan,
 
             x, z, y = lax.fori_loop(0, opts.max_iter, body, (x, z, y))
             r_prim = jnp.max(jnp.abs(x - z))
-            grad = plan_s.Q @ x + c + y
+            Qx = plan_s.Q @ x
+            grad = Qx + c + y
             r_dual = jnp.max(jnp.abs(grad))
-            eps = max(opts.eps_abs, 25.0 * float(jnp.finfo(dt).eps))
-            conv = (r_prim <= eps + opts.eps_rel * jnp.max(jnp.abs(x))) \
-                & (r_dual <= eps + opts.eps_rel * jnp.max(jnp.abs(grad)))
+            eps_floor = 25.0 * float(jnp.finfo(dt).eps)
+            eps = max(opts.eps_abs, eps_floor)
+            eps_rel = max(opts.eps_rel, eps_floor)
+            d_scale = jnp.maximum(jnp.max(jnp.abs(Qx)),
+                                  jnp.maximum(jnp.max(jnp.abs(y)),
+                                              jnp.max(jnp.abs(c))))
+            conv = (r_prim <= eps + eps_rel * jnp.max(jnp.abs(x))) \
+                & (r_dual <= eps + eps_rel * d_scale)
             sol = QPSolution(
                 x=x, y=y, z=z,
                 status=jnp.where(conv, 0, 1).astype(jnp.int32),
@@ -451,11 +481,18 @@ def make_plan_step(plan: ControlPlan,
                 e = x - x_seed
                 z = jnp.clip(C @ e, l_e, u_e)
             r_prim = jnp.max(jnp.abs(C @ e - z))
-            grad = plan_s.Q @ x + c_tick + C.T @ y
+            Qx = plan_s.Q @ x
+            CTy = C.T @ y
+            grad = Qx + c_tick + CTy
             r_dual = jnp.max(jnp.abs(grad))
-            eps = max(opts.eps_abs, 25.0 * float(jnp.finfo(dt).eps))
-            conv = (r_prim <= eps + opts.eps_rel * jnp.max(jnp.abs(C @ x))) \
-                & (r_dual <= eps + opts.eps_rel * jnp.max(jnp.abs(grad)))
+            eps_floor = 25.0 * float(jnp.finfo(dt).eps)
+            eps = max(opts.eps_abs, eps_floor)
+            eps_rel = max(opts.eps_rel, eps_floor)
+            d_scale = jnp.maximum(jnp.max(jnp.abs(Qx)),
+                                  jnp.maximum(jnp.max(jnp.abs(CTy)),
+                                              jnp.max(jnp.abs(c_tick))))
+            conv = (r_prim <= eps + eps_rel * jnp.max(jnp.abs(C @ x))) \
+                & (r_dual <= eps + eps_rel * d_scale)
             y_orig = E * y                 # back to the original metric
             sol = QPSolution(
                 x=x, y=y_orig, z=Cxs + z,

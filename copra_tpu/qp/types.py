@@ -36,6 +36,26 @@ STATUS_MESSAGES = {
     STATUS_DUAL_INFEASIBLE: "dual infeasible",
 }
 
+# Verbose per-status explanations (reference analog: the QLD adapter's
+# fail-code explanations, /root/reference/src/solvers/QLDSolver.cpp:26-58).
+STATUS_EXPLANATIONS = {
+    STATUS_SOLVED: "converged: primal and dual residuals within tolerance",
+    STATUS_MAX_ITER: ("iteration budget exhausted before the residual "
+                      "tolerances were met; the returned iterate is the "
+                      "best found — raise max_iter, loosen eps_abs/eps_rel, "
+                      "or warm-start from a nearby solution"),
+    STATUS_PRIMAL_INFEASIBLE: ("primal infeasibility certificate found: a "
+                               "dual direction dy with C'dy ~ 0 and "
+                               "negative support proves no x satisfies the "
+                               "constraints; check bounds/rows for "
+                               "contradictions"),
+    STATUS_DUAL_INFEASIBLE: ("dual infeasibility certificate found: a "
+                             "primal ray dx with Q dx ~ 0 and c'dx < 0 "
+                             "proves the objective is unbounded below on "
+                             "the feasible set; the QP is not positive "
+                             "definite on the constraint recession cone"),
+}
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -99,9 +119,40 @@ class QPSolution:
     dual_residual: Array
 
     def inform(self) -> str:
-        """Human-readable status (reference ``SI_inform()``)."""
-        code = int(self.status) if self.status.ndim == 0 else -1
-        return STATUS_MESSAGES.get(code, "mixed batch statuses")
+        """Human-readable status (reference ``SI_inform()``).
+
+        Single solve: status label, explanation, iterations and residuals.
+        Batched solve: a summary — solved count, per-status breakdown, and
+        the worst residuals across lanes (reference analog: the verbose
+        per-code explanations of ``src/solvers/QLDSolver.cpp:26-58``).
+        """
+        import numpy as np
+
+        status = np.asarray(self.status)
+        rp = np.asarray(self.primal_residual)
+        rd = np.asarray(self.dual_residual)
+        iters = np.asarray(self.iterations)
+        if status.ndim == 0:
+            code = int(status)
+            label = STATUS_MESSAGES.get(code, f"unknown status {code}")
+            expl = STATUS_EXPLANATIONS.get(code, "")
+            msg = (f"{label} ({int(iters)} iterations, "
+                   f"primal residual {float(rp):.3e}, "
+                   f"dual residual {float(rd):.3e})")
+            return f"{msg}: {expl}" if expl else msg
+        total = status.size
+        solved = int((status == STATUS_SOLVED).sum())
+        parts = [f"{solved}/{total} solved"]
+        for code, label in STATUS_MESSAGES.items():
+            if code == STATUS_SOLVED:
+                continue
+            k = int((status == code).sum())
+            if k:
+                parts.append(f"{k} {label}")
+        parts.append(f"worst primal residual {float(rp.max()):.3e}")
+        parts.append(f"worst dual residual {float(rd.max()):.3e}")
+        parts.append(f"max iterations {int(iters.max())}")
+        return "; ".join(parts)
 
 
 @jax.tree_util.register_dataclass
@@ -152,6 +203,9 @@ class SolverOptions:
     early_exit: bool = True       # False -> fixed iteration count (uniform
     #                               across batch lanes / mesh shards)
     infeasibility_detection: bool = True
+    eps_prim_inf: float = 1e-6    # primal-infeasibility certificate tol
+    #                               (|C'dy| <= eps * |dy|, OSQP convention)
+    eps_dual_inf: float = 1e-6    # dual-infeasibility certificate tol
     kkt_solve: str = "auto"       # "chol" | "inverse" | "auto" (inverse on
     #                               accelerators: one matvec per iteration)
     scaling: int = 0              # Ruiz equilibration iterations (0 = off;

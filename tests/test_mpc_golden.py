@@ -56,7 +56,7 @@ def test_small_system_golden_lmpc_facade():
                    GOLDEN_TRAJECTORY, GOLDEN_CONTROL)
     assert controller.solve_time() > 0
     assert controller.solve_and_build_time() >= controller.solve_time()
-    assert controller.inform() == "solved"
+    assert controller.inform().startswith("solved")
 
 
 def test_small_system_golden_functional():
