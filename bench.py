@@ -2,15 +2,28 @@
 
 Config mirrors BASELINE.md config 4 (1k-4k batched randomized LTV scenarios,
 warm-started QP) at the N=100 horizon of the baseline metric.  Baseline
-target: 10,000 solves/s per chip (BASELINE.json; the C++ reference publishes
-no numbers of its own).
+target: 10,000 solves/s per chip at 1e-5 control accuracy (BASELINE.json;
+the C++ reference publishes no numbers of its own).
 
-Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N}
+Two operating points, both printed in ONE JSON line:
+
+- headline (``accurate`` serving path, the default): f64-exact ticks via
+  the f64 seed map + f32 correction-space fused kernel
+  (``make_plan_step(accurate=True)``) — matches the exact f64 native
+  active-set solution of the same QPs to ~1e-9, i.e. the baseline's 1e-5
+  accuracy clause is met with orders of margin AT the headline speed.
+- ``fast_*`` keys (pure-f32 plan path, measured in a child process
+  without x64): the round-1 operating point, for continuity.
+
+The accuracy gate (``max_err_vs_exact``) compares several lanes of the
+timed result against the exact f64 solution (native C++ active-set
+oracle) of the same f32-data QPs; never quote the throughput without it.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -18,8 +31,27 @@ import numpy as np
 BASELINE_SOLVES_PER_S = 10_000.0
 
 
+def _build_workload(batch, horizon, dtype_np=np.float32):
+    T, mass = 0.005, 5.0
+    A = np.array([[1.0, T], [0.0, 1.0]])
+    B = np.array([[0.5 * T * T / mass], [T / mass]])
+    d = np.array([-9.81 / 2.0 * T * T, -9.81 * T])
+    rng = np.random.default_rng(0)
+    As = np.repeat(np.repeat(A[None], horizon, 0)[None], batch, 0)
+    As += rng.normal(scale=1e-4, size=As.shape)
+    Bs = np.repeat(np.repeat(B[None], horizon, 0)[None], batch, 0)
+    ds = np.repeat(np.repeat(d[None], horizon, 0)[None], batch, 0)
+    x0s = np.array([0.0, -1.5])[None] + rng.normal(
+        scale=[0.02, 0.1], size=(batch, 2))
+    return rng, As, Bs, ds, x0s
+
+
 def main():
+    mode = os.environ.get("BENCH_MODE", "accurate")
     import jax
+    if mode == "accurate":
+        # the accurate serving path applies the f64 seed map on device
+        jax.config.update("jax_enable_x64", True)
     # persistent compile cache: repeated bench runs skip the 1-2 min
     # first-compile cost
     jax.config.update("jax_compilation_cache_dir",
@@ -35,18 +67,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 5))
     dtype = jnp.float32
 
-    T, mass = 0.005, 5.0
-    A = np.array([[1.0, T], [0.0, 1.0]])
-    B = np.array([[0.5 * T * T / mass], [T / mass]])
-    d = np.array([-9.81 / 2.0 * T * T, -9.81 * T])
-
-    rng = np.random.default_rng(0)
-    As = np.repeat(np.repeat(A[None], horizon, 0)[None], batch, 0)
-    As += rng.normal(scale=1e-4, size=As.shape)
-    Bs = np.repeat(np.repeat(B[None], horizon, 0)[None], batch, 0)
-    ds = np.repeat(np.repeat(d[None], horizon, 0)[None], batch, 0)
-    x0s = np.array([0.0, -1.5])[None] + rng.normal(
-        scale=[0.02, 0.1], size=(batch, 2))
+    rng, As, Bs, ds, x0s = _build_workload(batch, horizon)
 
     system = ct.LTVSystem(A=jnp.asarray(As, dtype), B=jnp.asarray(Bs, dtype),
                           d=jnp.asarray(ds, dtype),
@@ -55,19 +76,35 @@ def main():
                                   weights=[10.0, 1e4]),
              ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
     constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
-    # rho=1 converges fastest from the unconstrained seed when bounds are
-    # active (see test_plan/test_qp seeding coverage); refine=0 suffices at
-    # HIGHEST matmul precision (docs/PERFORMANCE.md)
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
                             rho=float(os.environ.get("BENCH_RHO", "1.0")),
                             kkt_refine=int(os.environ.get("BENCH_REFINE",
                                                           "0")))
-    mode = os.environ.get("BENCH_MODE", "plan")
 
-    if mode in ("plan", "plan_xla"):
-        # production serving path: condense + QP assembly + KKT
-        # factorization happen ONCE (make_control_plan / make_plan_step);
-        # each timed tick is the x0-affine update + fixed ADMM iterations
+    if mode == "accurate":
+        from copra_tpu.plan import (make_control_plan, make_plan_step,
+                                    suggest_rho)
+
+        def plan_one(A_, B_, d_, x0_):
+            return make_control_plan(ct.LTVSystem(A=A_, B=B_, d=d_, x0=x0_),
+                                     costs, constraints)
+
+        plan = jax.jit(jax.vmap(plan_one))(system.A, system.B, system.d,
+                                           system.x0)
+        jax.block_until_ready(plan.Q)
+        if "BENCH_RHO" not in os.environ:
+            opts = opts.replace(rho=suggest_rho(plan))
+        plan_step = make_plan_step(
+            plan, opts, batched=True, seed_center=x0s, accurate=True,
+            accurate_rounds=int(os.environ.get("BENCH_ROUNDS", "1")))
+
+        def step(sys_b, warm):
+            u, sol, nxt = plan_step(plan, sys_b.x0, warm)
+            return u, nxt
+    elif mode in ("plan", "plan_xla"):
+        # pure-f32 serving path: condense + QP assembly + KKT factorization
+        # happen ONCE (make_control_plan / make_plan_step); each timed tick
+        # is the x0-affine update + fixed ADMM iterations
         from copra_tpu.plan import make_control_plan, make_plan_step
 
         def plan_one(A_, B_, d_, x0_):
@@ -85,56 +122,6 @@ def main():
         def step(sys_b, warm):
             u, sol, nxt = plan_step(plan, sys_b.x0, warm)
             return u, nxt
-    elif mode == "plan_fused_legacy":
-        # plan path + Pallas fused iteration kernel (operators VMEM-resident
-        # across all iterations)
-        from copra_tpu.ops.admm_kernel import fused_admm_box
-        from copra_tpu.plan import _box_fast_state, make_control_plan
-
-        def plan_one(A_, B_, d_, x0_):
-            return make_control_plan(ct.LTVSystem(A=A_, B=B_, d=d_, x0=x0_),
-                                     costs, constraints)
-
-        plan = jax.jit(jax.vmap(plan_one))(system.A, system.B, system.d,
-                                           system.x0)
-        import dataclasses as _dc
-
-        from copra_tpu.plan import make_seed_map
-
-        def one_fast(q):
-            return _box_fast_state(_dc.replace(plan, Q=q), opts)
-
-        Kinv, Kmat = jax.jit(jax.vmap(one_fast))(plan.Q)
-        Kinv = Kinv.astype(jnp.float32)
-        Kmat = Kmat.astype(jnp.float32)
-        seed = make_seed_map(plan)       # host f64, cast to f32
-        jax.block_until_ready(Kinv)
-        n = plan.Q.shape[-1]
-        lb = jnp.broadcast_to(plan.lb, (batch, n)).astype(jnp.float32)
-        ub = jnp.broadcast_to(plan.ub, (batch, n)).astype(jnp.float32)
-
-        @jax.jit
-        def fstep(Kinv_, K_, seed_, x0s_, warm):
-            c = (plan.c0 + jnp.einsum("bx,bxn->bn", x0s_, plan.Cmap)
-                 ).astype(jnp.float32)
-            if warm is None:
-                wx = (seed_.u0
-                      + jnp.einsum("bx,bxn->bn", x0s_, seed_.Umap)
-                      ).astype(jnp.float32)
-                wz = jnp.clip(wx, lb, ub)
-                wy = jnp.zeros((batch, n), jnp.float32)
-            else:
-                wx, wy, wz = warm.x, warm.y, warm.z
-            x, y, z = fused_admm_box(
-                Kinv_, K_, c, lb, ub, wx, wy, wz,
-                n_iter=iters, sigma=opts.sigma, alpha=opts.alpha,
-                rho=opts.rho,
-                refine=int(os.environ.get("BENCH_REFINE", "1")),
-                sub_batch=int(os.environ.get("BENCH_SUB_BATCH", "32")))
-            return x, ct.WarmStart(x=x, y=y, z=z)
-
-        def step(sys_b, warm):
-            return fstep(Kinv, Kmat, seed, sys_b.x0, warm)
     elif mode == "fused":
         from copra_tpu.ops.admm_kernel import solve_qp_batched_fused
         from copra_tpu.systems import condense_ltv
@@ -161,7 +148,8 @@ def main():
     drift = np.zeros((steps + 2, batch, 2))
     drift[:, :, 1] = np.cumsum(
         rng.normal(scale=0.02, size=(steps + 2, batch)), axis=0)
-    x0_seq = [jnp.asarray(x0s + drift[t], dtype) for t in range(steps + 2)]
+    x0_seq = [jnp.asarray((x0s + drift[t]).astype(np.float32))
+              for t in range(steps + 2)]
 
     import dataclasses as _dcl
 
@@ -179,45 +167,71 @@ def main():
     jax.block_until_ready(u)
     elapsed = time.perf_counter() - t0
     solves_per_s = batch * steps / elapsed
-    x0s = np.asarray(x0_seq[steps + 1])   # accuracy gate: last tick's QP
+    x0_last = np.asarray(x0_seq[steps + 1])   # accuracy gate: last tick
 
     # honesty gate: several lanes of the timed result vs the exact (f64,
-    # native active-set) solutions of the same QPs
-    err = None
+    # native active-set) solutions of the same QPs.  The QP's linear term
+    # is built in f64 from the widened f32 plan data — the plan data IS
+    # the problem; rounding c to f32 perturbs the solution by ~1e-2
+    # through the Hessian's 1e-4 eigenvalues (docs/PERFORMANCE.md).
+    gate_err = None
+    gate_fail = None
     try:
-        from copra_tpu.plan import make_control_plan, plan_qp
+        from copra_tpu.plan import make_control_plan as _mcp
         from copra_tpu.qp.native import solve_qp_native
+        if mode in ("accurate", "plan", "plan_xla"):
+            plan_np = plan
+        else:
+            plan_np = jax.jit(jax.vmap(lambda a, b, dd, x0: _mcp(
+                ct.LTVSystem(A=a, B=b, d=dd, x0=x0), costs, constraints)))(
+                system.A, system.B, system.d, system.x0)
         errs = []
         for lane in (0, 1, 17, batch - 1):
-            sysl = ct.LTVSystem(A=jnp.asarray(As[lane]),
-                                B=jnp.asarray(Bs[lane]),
-                                d=jnp.asarray(ds[lane]),
-                                x0=jnp.asarray(x0s[lane]))
-            planl = make_control_plan(sysl, costs, constraints)
-            qpl = plan_qp(planl, sysl.x0)
-            n0 = qpl.Q.shape[-1]
+            Q64 = np.asarray(plan_np.Q[lane], np.float64)
+            c64 = (np.asarray(plan_np.c0[lane], np.float64)
+                   + x0_last[lane].astype(np.float64)
+                   @ np.asarray(plan_np.Cmap[lane], np.float64))
+            n0 = Q64.shape[-1]
             exact = solve_qp_native(ct.DenseQP(
-                Q=np.asarray(qpl.Q, np.float64),
-                c=np.asarray(qpl.c, np.float64),
+                Q=Q64, c=c64,
                 Aeq=np.zeros((0, n0)), beq=np.zeros((0,)),
                 Aineq=np.zeros((0, n0)), bineq=np.zeros((0,)),
-                lb=np.asarray(qpl.lb, np.float64),
-                ub=np.asarray(qpl.ub, np.float64)))
+                lb=np.asarray(plan_np.lb[lane], np.float64),
+                ub=np.asarray(plan_np.ub[lane], np.float64)))
             errs.append(float(np.abs(np.asarray(u[lane], np.float64)
                                      - np.asarray(exact.x)).max()))
-        err = max(errs)
-    except Exception:
-        pass
+        gate_err = max(errs)
+    except Exception as exc:                      # noqa: BLE001
+        # an ungated throughput number is unverified — say so explicitly
+        # rather than silently dropping the key
+        gate_fail = f"FAILED: {type(exc).__name__}: {exc}"
 
     out = {
-        "metric": f"batched warm-started LTV MPC solves/s "
+        "metric": f"batched warm-started LTV MPC solves/s, {mode} path "
                   f"(B={batch}, N={horizon}, {iters} ADMM iters)",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
     }
-    if err is not None:
-        out["max_err_vs_exact_4lanes"] = round(err, 8)
+    if gate_err is not None:
+        out["max_err_vs_exact"] = float(f"{gate_err:.3g}")
+    if gate_fail is not None:
+        out["accuracy_gate"] = gate_fail
+
+    if mode == "accurate" and not os.environ.get("BENCH_CHILD"):
+        # fast-mode (pure f32, no x64) point from a child process
+        try:
+            env = dict(os.environ, BENCH_MODE="plan", BENCH_CHILD="1")
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1200)
+            line = [ln for ln in child.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            fast = json.loads(line)
+            out["fast_solves_per_s"] = fast.get("value")
+            out["fast_max_err"] = fast.get("max_err_vs_exact")
+        except Exception as exc:                  # noqa: BLE001
+            out["fast_point"] = f"FAILED: {type(exc).__name__}"
     print(json.dumps(out))
 
 

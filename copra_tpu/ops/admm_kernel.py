@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .._precision import highest_precision
@@ -37,7 +38,7 @@ _DOT_PRECISION = jax.lax.Precision.HIGHEST
 def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
                 refine: int,
                 kinv_ref, k_ref, c_ref, l_ref, u_ref, x0_ref, y0_ref,
-                z0_ref, x_ref, y_ref, z_ref):
+                z0_ref, x_ref, y_ref, z_ref, g_ref):
     """Box-only ADMM: C = I, z/y live in R^n.  One sub-batch per program.
 
     ``refine`` steps of iterative refinement against K per KKT solve make
@@ -77,13 +78,19 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
             return (x_n, z_n, y_n)
 
         init = (x0_ref[j][None, :], z0_ref[j][None, :], y0_ref[j][None, :])
-        x, z, y = lax.fori_loop(0, n_iter, body, init)
+        x, z, y = lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), body, init)
         x_ref[j, :] = x[0]
         z_ref[j, :] = z[0]
         y_ref[j, :] = y[0]
-        return 0
+        # Q x for the caller's dual residual, from the VMEM-resident K
+        # (Q = K - (sigma+rho) I): saves the caller a full HBM re-read of
+        # the batched Q just to report honest statuses
+        g_ref[j, :] = (matvec(x, K) - (sigma + rho) * x)[0]
+        # int32 carry: a Python-int carry traces as i64 under jax_enable_x64
+        # and Mosaic rejects the resulting i64 func.return
+        return jnp.int32(0)
 
-    lax.fori_loop(0, sb, scenario, 0)
+    lax.fori_loop(jnp.int32(0), jnp.int32(sb), scenario, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
@@ -93,13 +100,15 @@ def fused_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,
                    x0: Array, y0: Array, z0: Array, *,
                    n_iter: int, sigma: float, alpha: float, rho: float,
                    refine: int = 1, sub_batch: int = 8,
-                   interpret: bool = False) -> Tuple[Array, Array, Array]:
+                   interpret: bool = False
+                   ) -> Tuple[Array, Array, Array, Array]:
     """Run ``n_iter`` box-only ADMM iterations for a batch of scenarios.
 
     Args: ``Kinv/K [B,n,n]`` (inverse and original ``Q+(sigma+rho)I`` — K
     is used for ``refine`` iterative-refinement steps per solve, required
     for f32 on ill-conditioned problems), ``c/l/u/x0/y0/z0 [B,n]``.
-    Returns ``(x, y, z)`` each ``[B,n]``.
+    Returns ``(x, y, z, g)`` each ``[B,n]`` where ``g = Q x`` (computed
+    in-kernel from the VMEM-resident K) for the caller's dual residual.
     """
     B, n = c.shape
     sb = min(sub_batch, B)
@@ -107,11 +116,14 @@ def fused_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,
         sb -= 1
     grid = (B // sb,)
 
+    _z = np.int32(0)    # Python-int index-map zeros trace as i64
+                        # under jax_enable_x64 and Mosaic rejects them
+
     def block1(i):
-        return (i, 0)
+        return (i, _z)
 
     def block2(i):
-        return (i, 0, 0)
+        return (i, _z, _z)
 
     vec_spec = pl.BlockSpec((sb, n), block1, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((sb, n, n), block2, memory_space=pltpu.VMEM)
@@ -122,9 +134,9 @@ def fused_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,
         kernel,
         grid=grid,
         in_specs=[mat_spec, mat_spec] + [vec_spec] * 6,
-        out_specs=(vec_spec, vec_spec, vec_spec),
+        out_specs=(vec_spec, vec_spec, vec_spec, vec_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((B, n), c.dtype)
-                        for _ in range(3)),
+                        for _ in range(4)),
         interpret=interpret,
     )(Kinv, K, c, l, u, x0, y0, z0)
     return out
@@ -172,13 +184,13 @@ def _general_kernel(n_iter: int, sigma: float, alpha: float,
             return (x_n, z_n, y_n)
 
         init = (x0_ref[j][None, :], z0_ref[j][None, :], y0_ref[j][None, :])
-        x, z, y = lax.fori_loop(0, n_iter, body, init)
+        x, z, y = lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), body, init)
         x_ref[j, :] = x[0]
         z_ref[j, :] = z[0]
         y_ref[j, :] = y[0]
-        return 0
+        return jnp.int32(0)
 
-    lax.fori_loop(0, sb, scenario, 0)
+    lax.fori_loop(jnp.int32(0), jnp.int32(sb), scenario, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
@@ -197,11 +209,13 @@ def fused_admm_general(Kinv: Array, C: Array, c: Array,
         sb -= 1
     grid = (B // sb,)
 
+    _z = np.int32(0)
+
     def b2(i):
-        return (i, 0)
+        return (i, _z)
 
     def b3(i):
-        return (i, 0, 0)
+        return (i, _z, _z)
 
     nvec = pl.BlockSpec((sb, n), b2, memory_space=pltpu.VMEM)
     mvec = pl.BlockSpec((sb, m), b2, memory_space=pltpu.VMEM)
@@ -273,7 +287,7 @@ def solve_qp_batched_fused(qp, options=None, warm_start=None,
         y0 = jnp.zeros((B, n), dt)
         z0 = jnp.zeros((B, n), dt)
 
-    x, y, z = fused_admm_box(
+    x, y, z, gq = fused_admm_box(
         Kinv, K, c, lb, ub, x0, y0, z0,
         n_iter=options.max_iter, sigma=sigma, alpha=alpha, rho=rho,
         refine=1, sub_batch=32, interpret=interpret)
@@ -292,9 +306,12 @@ def solve_qp_batched_fused(qp, options=None, warm_start=None,
         x, y = jax.vmap(pol)(Q.astype(dt), c, lb, ub, x, y, z)
         z = jnp.clip(x, lb, ub)
 
-    # unscaled residuals (C = I)
+    # unscaled residuals (C = I); Qx comes free from the kernel unless
+    # polish replaced x
     r_prim = jnp.max(jnp.abs(x - z), axis=-1)
-    grad = jnp.einsum("bij,bj->bi", Q.astype(dt), x) + c + y
+    if options.polish:
+        gq = jnp.einsum("bij,bj->bi", Q.astype(dt), x)
+    grad = gq + c + y
     r_dual = jnp.max(jnp.abs(grad), axis=-1)
     eps_floor = 25.0 * float(jnp.finfo(dt).eps)
     eps_abs = max(options.eps_abs, eps_floor)

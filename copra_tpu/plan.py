@@ -161,7 +161,8 @@ class SeedMap:
         return self.u0 + (x0 - self.x0c) @ self.Umap
 
 
-def make_seed_map(plan: ControlPlan, center=None) -> SeedMap:
+def make_seed_map(plan: ControlPlan, center=None,
+                  keep_f64: bool = False) -> SeedMap:
     """Host-side f64 construction of the unconstrained-seed affine map.
 
     ``center``: state(s) to expand around (default 0).  Centering at the
@@ -169,6 +170,10 @@ def make_seed_map(plan: ControlPlan, center=None) -> SeedMap:
     ``Umap`` entries can reach ~1e4, so applying the map to a SMALL
     deviation ``x0 - x0c`` avoids large-operand cancellation; the centered
     ``u0`` itself is exact (computed here in f64).
+
+    ``keep_f64``: store the map in f64 on device (requires
+    ``jax_enable_x64``) — the accurate serving path applies it in f64,
+    which IS the exact solve of the f32-data QP when no bound is active.
     """
     import numpy as np
 
@@ -191,16 +196,160 @@ def make_seed_map(plan: ControlPlan, center=None) -> SeedMap:
         x0c = np.broadcast_to(np.asarray(center, np.float64),
                               u0.shape[:-1] + (x,))
         u0 = u0 + np.einsum("...x,...xn->...n", x0c, Umap)
-    dt = plan.Q.dtype
+    dt = jnp.float64 if keep_f64 else plan.Q.dtype
     return SeedMap(u0=jnp.asarray(u0, dt), Umap=jnp.asarray(Umap, dt),
                    x0c=jnp.asarray(x0c, dt))
+
+
+def suggest_rho(plan: ControlPlan, sample_lanes: int = 4) -> float:
+    """Spectrum-aware static ADMM penalty for box-only plan steps.
+
+    ``rho = 0.1 * sqrt(lambda_min * lambda_max)`` of the plan Hessian
+    (host f64; a few lanes sampled for batched plans).  Box-constrained
+    ADMM's convergence factor on the low-curvature subspace degrades as
+    ``rho / lambda_min`` grows: on the headline config (lambda ~1e-4..1)
+    a saturated fleet stalls for hundreds of iterations at ``rho=1`` but
+    converges in ~100 at the suggested 1e-3 (measured, tight-box stress).
+    Unconstrained-at-optimum lanes converge instantly for any rho (the
+    correction fixed point is 0), so the small rho costs nothing there.
+    """
+    import numpy as np
+
+    Q = np.asarray(plan.Q, np.float64)
+    if Q.ndim == 3:
+        idx = np.unique(np.linspace(0, Q.shape[0] - 1,
+                                    min(sample_lanes, Q.shape[0])
+                                    ).astype(int))
+        ev = np.linalg.eigvalsh(Q[idx])
+        lmin = max(float(ev[:, 0].min()), 1e-12)
+        lmax = float(ev[:, -1].max())
+    else:
+        ev = np.linalg.eigvalsh(Q)
+        lmin = max(float(ev[0]), 1e-12)
+        lmax = float(ev[-1])
+    return float(0.1 * np.sqrt(lmin * lmax))
+
+
+def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
+                        seed_center, rounds: int = 2):
+    """f64-exact batched box-only serving tick (see make_plan_step docs).
+
+    Per tick: tiny f64 affine seed map, f32 fused correction-space ADMM,
+    f64 combine with exact bound snapping.  The f64 work is O(B*n), so
+    throughput matches the f32 fast path; accuracy vs the exact (f64
+    native active-set) solution of the same f32-data QP is ~1e-9 for
+    inactive lanes and ~1e-6 for saturated ones (correction-space f32
+    floor), vs ~1e-2 for any pipeline that rounds ``c`` to f32.
+    """
+    import dataclasses as _dc
+
+    from .ops.admm_kernel import fused_admm_box
+
+    f32 = jnp.float32
+    f64 = jnp.float64
+    opts = options.replace(early_exit=False)
+    q_batched = plan.Q.ndim == 3
+    if q_batched:
+        Kinv_pre, K_pre = jax.jit(
+            jax.vmap(lambda q: _box_fast_state(
+                _dc.replace(plan, Q=q), opts)))(plan.Q)
+    else:
+        Kinv_pre, K_pre = jax.jit(lambda: _box_fast_state(plan, opts))()
+    Kinv_pre = Kinv_pre.astype(f32)
+    K_pre = K_pre.astype(f32)
+    seed_map = make_seed_map(plan, center=seed_center, keep_f64=True)
+
+    @jax.jit
+    @highest_precision
+    def acc_step(plan_b, Kinv, Kf, seed, x0_b, warm_b):
+        n = plan_b.Q.shape[-1]
+        bsz = x0_b.shape[0]
+        x0_64 = x0_b.astype(f64)
+        dx0 = x0_64 - seed.x0c
+        if seed.Umap.ndim == 3:
+            xs64 = seed.u0 + jnp.einsum("bx,bxn->bn", dx0, seed.Umap)
+        else:
+            xs64 = seed.u0 + dx0 @ seed.Umap
+        lb64 = jnp.broadcast_to(plan_b.lb, (bsz, n)).astype(f64)
+        ub64 = jnp.broadcast_to(plan_b.ub, (bsz, n)).astype(f64)
+        lb_e = (lb64 - xs64).astype(f32)
+        ub_e = (ub64 - xs64).astype(f32)
+        czero = jnp.zeros((bsz, n), f32)
+        wy = czero if warm_b is None else warm_b.y.astype(f32)
+        Kb = jnp.broadcast_to(Kinv, (bsz, n, n)) if Kinv.ndim == 2 else Kinv
+        Kfb = jnp.broadcast_to(Kf, (bsz, n, n)) if Kf.ndim == 2 else Kf
+        # Composite-level iterative refinement: saturated lanes stall at a
+        # solution-space floor of ~cond(K)*eps_f32/lambda_min (the error
+        # hides in the low-curvature subspace where the gradient cannot
+        # see it).  Re-running the correction ADMM around the current
+        # composite iterate with its f64-computed gradient as the (small)
+        # linear term contracts that error by ~cond(K)*eps_f32 (~1e-3)
+        # per round — round 2 reaches ~1e-6 even for heavily saturated
+        # lanes.  Cost per extra round: max_iter kernel iterations plus
+        # one f64 matvec.
+        base64 = xs64
+        r32 = czero
+        for rnd in range(rounds):
+            lb_e = (lb64 - base64).astype(f32)
+            ub_e = (ub64 - base64).astype(f32)
+            wz = jnp.clip(czero, lb_e, ub_e)
+            e, y, ze, gq = fused_admm_box(
+                Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
+                n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
+                rho=opts.rho, refine=max(opts.kkt_refine, 0),
+                sub_batch=int(os.environ.get("COPRA_FUSED_SUB_BATCH",
+                                             "32")),
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            wy = y
+            base64 = base64 + e.astype(f64)
+            if rnd < rounds - 1:
+                # gradient at the composite iterate: Q x + c =
+                # Q (x - xs) exactly, because Q xs + c = 0 by seed
+                # construction (f64, exact for the f32 plan data)
+                r64 = jnp.einsum("bnm,bm->bn", plan_b.Q.astype(f64),
+                                 base64 - xs64)
+                r32 = r64.astype(f32)
+        # f64 combine; snap active coordinates to their exact bounds
+        thr = f32(1e-6) * jnp.maximum(
+            jnp.max(jnp.abs(y), axis=-1, keepdims=True), f32(1.0))
+        at_up = y > thr
+        at_lo = y < -thr
+        x64 = jnp.where(at_up, ub64, jnp.where(at_lo, lb64, base64))
+        x64 = jnp.clip(x64, lb64, ub64)
+        # honest per-lane status from correction-space residuals.  The
+        # kernel returns gq = Q e from its VMEM-resident K (no HBM re-read
+        # of Q); the full gradient is r32 + gq + y (r32 = gradient at the
+        # round's base point; 0 in round 0 by seed construction).
+        x32 = x64.astype(f32)
+        r_prim = jnp.max(jnp.abs(e - ze), axis=-1)
+        grad = r32 + gq + y
+        r_dual = jnp.max(jnp.abs(grad), axis=-1)
+        eps_floor = 25.0 * float(jnp.finfo(f32).eps)
+        eps = max(opts.eps_abs, eps_floor)
+        eps_rel = max(opts.eps_rel, eps_floor)
+        d_scale = jnp.maximum(jnp.max(jnp.abs(gq), axis=-1),
+                              jnp.max(jnp.abs(y), axis=-1))
+        conv = ((r_prim <= eps + eps_rel * jnp.max(jnp.abs(x32), axis=-1))
+                & (r_dual <= eps + eps_rel * d_scale))
+        sol = QPSolution(
+            x=x64, y=y, z=x32,
+            status=jnp.where(conv, 0, 1).astype(jnp.int32),
+            iterations=jnp.full((bsz,), rounds * opts.max_iter, jnp.int32),
+            primal_residual=r_prim,
+            dual_residual=r_dual)
+        return x64, sol, WarmStart(x=x32, y=y, z=x32)
+
+    return lambda plan_b, x0_b, warm_b: acc_step(
+        plan_b, Kinv_pre, K_pre, seed_map, x0_b, warm_b)
 
 
 def make_plan_step(plan: ControlPlan,
                    options: SolverOptions = SolverOptions(),
                    batched: bool = False,
                    use_fused: Optional[bool] = None,
-                   seed_center=None):
+                   seed_center=None,
+                   accurate: bool = False,
+                   accurate_rounds: int = 2):
     """Build ``step(x0, warm) -> (U, solution, next_warm)``.
 
     Box-only plans (no eq/ineq rows) use the pre-factorized fixed-iteration
@@ -213,12 +362,37 @@ def make_plan_step(plan: ControlPlan,
     Pallas fused kernel — operators stay VMEM-resident across all
     iterations (the bench fast path; ~1.5x over the XLA loop at
     B=4096/N=100).  Default: on for TPU backends.
+
+    ``accurate`` (batched box-only, requires ``jax_enable_x64``): the
+    f64-exact serving tick.  Returns ``U`` in float64, matching the exact
+    solution of the f32-data QP to ~1e-9 at essentially fast-path cost.
+    Why this works: the MPC Hessian's small eigenvalues amplify any f32
+    rounding of the linear term ``c`` by ~1/lambda_min (measured 1.9e-6
+    of c-rounding -> 1.8e-2 in control space on the headline config), so
+    no f32 pipeline that materializes ``c`` can reach 1e-5.  The
+    correction-space substitution ``x = x_seed + e`` removes ``c``
+    entirely (the correction QP's linear term is 0 by construction):
+    the seed map is applied in f64 (exact for the f32 data), the f32
+    kernel only computes the bound-activation correction ``e`` (small,
+    and exactly 0 for inactive lanes), and active coordinates are snapped
+    to their exact bound values in f64.
     """
     box_only = plan.Aeq.shape[-2] == 0 and plan.Aineq.shape[-2] == 0
     if use_fused is None:
         use_fused = jax.default_backend() in ("tpu", "axon")
     use_fused = (use_fused and batched and box_only
                  and plan.Q.dtype == jnp.float32)
+
+    if accurate:
+        if not (batched and box_only):
+            raise ValueError("accurate=True requires a batched box-only "
+                             "plan (general rows: use the stagewise or "
+                             "full-solver paths).")
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError("accurate=True needs jax_enable_x64 (f64 "
+                             "seed application on device).")
+        return _make_accurate_step(plan, options, seed_center,
+                                   rounds=max(int(accurate_rounds), 1))
 
     if use_fused:
         from .ops.admm_kernel import fused_admm_box
@@ -269,7 +443,7 @@ def make_plan_step(plan: ControlPlan,
             refine = opts.kkt_refine
             if refine < 0:   # auto: one refinement step in f32
                 refine = 1 if jnp.finfo(jnp.float32).eps > 1e-10 else 0
-            e, y, ze = fused_admm_box(
+            e, y, ze, gq = fused_admm_box(
                 Kb, Kfb, czero, lb, ub, we, wy, wz,
                 n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
                 rho=opts.rho, refine=refine,
@@ -282,24 +456,18 @@ def make_plan_step(plan: ControlPlan,
             # `single` path — unconverged lanes report STATUS_MAX_ITER and
             # the true dual residual, never a hardcoded success
             r_prim = jnp.max(jnp.abs(e - ze), axis=-1)
-            if plan_b.Cmap.ndim == 3:
-                c_tick = plan_b.c0 + jnp.einsum("bx,bxn->bn", x0_b,
-                                                plan_b.Cmap)
-            else:
-                c_tick = plan_b.c0 + x0_b @ plan_b.Cmap
-            Qx = jnp.einsum("...nm,...m->...n",
-                            jnp.broadcast_to(plan_b.Q, (batch_n, n, n)), x)
-            grad = Qx + c_tick + y
+            # grad = Q x + c + y = gq + y in correction space (see
+            # _make_accurate_step): gq = Q e comes free from the kernel,
+            # avoiding a full HBM re-read of the batched Q per tick
+            grad = gq + y
             r_dual = jnp.max(jnp.abs(grad), axis=-1)
             # OSQP tolerance convention (same as solve_qp): relative to the
             # magnitudes of the KKT terms, with the f32 floor on both eps
             eps_floor = 25.0 * float(jnp.finfo(jnp.float32).eps)
             eps = max(opts.eps_abs, eps_floor)
             eps_rel = max(opts.eps_rel, eps_floor)
-            d_scale = jnp.maximum(
-                jnp.max(jnp.abs(Qx), axis=-1),
-                jnp.maximum(jnp.max(jnp.abs(y), axis=-1),
-                            jnp.max(jnp.abs(c_tick), axis=-1)))
+            d_scale = jnp.maximum(jnp.max(jnp.abs(gq), axis=-1),
+                                  jnp.max(jnp.abs(y), axis=-1))
             conv = ((r_prim <= eps
                      + eps_rel * jnp.max(jnp.abs(x), axis=-1))
                     & (r_dual <= eps + eps_rel * d_scale))

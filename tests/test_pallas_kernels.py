@@ -40,7 +40,7 @@ def test_fused_box_matches_xla_path():
     K = qp.Q + (sigma + rho) * jnp.eye(n)[None]
     Kinv = jnp.linalg.inv(K)
     zeros = jnp.zeros((batch, n))
-    x, y, z = fused_admm_box(
+    x, y, z, g = fused_admm_box(
         Kinv.astype(jnp.float32), K.astype(jnp.float32),
         qp.c.astype(jnp.float32),
         qp.lb.astype(jnp.float32), qp.ub.astype(jnp.float32),
@@ -51,6 +51,10 @@ def test_fused_box_matches_xla_path():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(z), np.asarray(ref.z),
                                rtol=1e-4, atol=1e-4)
+    # the in-kernel Q x output (for caller dual residuals) is consistent
+    np.testing.assert_allclose(
+        np.asarray(g), np.einsum("bij,bj->bi", np.asarray(qp.Q),
+                                 np.asarray(x)), rtol=1e-3, atol=1e-3)
 
 
 def test_fused_box_solution_quality():
@@ -64,7 +68,7 @@ def test_fused_box_solution_quality():
     K = qp.Q + (opts.sigma + opts.rho) * jnp.eye(n)[None]
     Kinv = jnp.linalg.inv(K)
     zeros = jnp.zeros((batch, n), jnp.float32)
-    x, _, _ = fused_admm_box(
+    x, _, _, _ = fused_admm_box(
         Kinv.astype(jnp.float32), K.astype(jnp.float32),
         qp.c.astype(jnp.float32),
         qp.lb.astype(jnp.float32), qp.ub.astype(jnp.float32),

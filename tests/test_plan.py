@@ -234,3 +234,110 @@ def test_plan_step_with_equality_rows():
     exact = solve_qp_native(plan_qp(plan, jnp.asarray(EQ_X0)))
     np.testing.assert_allclose(np.asarray(U), np.asarray(exact.x),
                                atol=1e-4)
+
+
+def _ltv_fleet(batch=4, horizon=40, seed=0):
+    """Miniature of the headline bench workload (randomized LTV fleet)."""
+    T, mass = 0.005, 5.0
+    Ad = np.array([[1.0, T], [0.0, 1.0]])
+    Bd = np.array([[0.5 * T * T / mass], [T / mass]])
+    dd = np.array([-9.81 / 2 * T * T, -9.81 * T])
+    rng = np.random.default_rng(seed)
+    As = np.repeat(np.repeat(Ad[None], horizon, 0)[None], batch, 0)
+    As += rng.normal(scale=1e-4, size=As.shape)
+    Bs = np.repeat(np.repeat(Bd[None], horizon, 0)[None], batch, 0)
+    ds = np.repeat(np.repeat(dd[None], horizon, 0)[None], batch, 0)
+    x0s = np.array([0.0, -1.5])[None] + rng.normal(scale=[0.02, 0.1],
+                                                   size=(batch, 2))
+    costs = (ct.TargetCost.create(np.eye(2), [0.0, -1.0],
+                                  weights=[10.0, 1e4]),
+             ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
+    return As, Bs, ds, x0s, costs
+
+
+def _exact_box(plan, lane, x0_lane):
+    """Exact f64 solution of the f32-data QP (native oracle, f64 c)."""
+    from copra_tpu.qp.native import solve_qp_native
+    n = plan.Q.shape[-1]
+    Q64 = np.asarray(plan.Q[lane], np.float64)
+    c64 = (np.asarray(plan.c0[lane], np.float64)
+           + np.asarray(x0_lane, np.float64)
+           @ np.asarray(plan.Cmap[lane], np.float64))
+    sol = solve_qp_native(ct.DenseQP(
+        Q=Q64, c=c64, Aeq=np.zeros((0, n)), beq=np.zeros((0,)),
+        Aineq=np.zeros((0, n)), bineq=np.zeros((0,)),
+        lb=np.asarray(plan.lb[lane], np.float64),
+        ub=np.asarray(plan.ub[lane], np.float64)))
+    return np.asarray(sol.x)
+
+
+def test_accurate_step_f64_exact_unsaturated():
+    """accurate=True: f64-exact ticks when no bound activates (~1e-9)."""
+    from copra_tpu.qp.native import native_available
+    from copra_tpu.plan import suggest_rho
+    if not native_available():
+        import pytest
+        pytest.skip("native solver unavailable")
+    As, Bs, ds, x0s, costs = _ltv_fleet()
+    constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
+    f32 = jnp.float32
+    plan = jax.jit(jax.vmap(lambda a, b, dd_, x0: make_control_plan(
+        ct.LTVSystem(A=a, B=b, d=dd_, x0=x0), costs, constraints)))(
+        jnp.asarray(As, f32), jnp.asarray(Bs, f32), jnp.asarray(ds, f32),
+        jnp.asarray(x0s, f32))
+    opts = ct.SolverOptions(max_iter=30, rho=suggest_rho(plan))
+    step = make_plan_step(plan, opts, batched=True, seed_center=x0s,
+                          accurate=True)
+    warm = None
+    x032 = jnp.asarray(x0s.astype(np.float32))
+    for _ in range(2):
+        U, sol, warm = step(plan, x032, warm)
+    assert U.dtype == jnp.float64
+    assert int((np.asarray(sol.status) == 0).sum()) == 4
+    for lane in range(4):
+        ex = _exact_box(plan, lane, np.asarray(x032)[lane])
+        # 1e-8: far inside the 1e-5 baseline contract; an f32 pipeline
+        # that rounds c sits at ~1e-2 on this problem class
+        assert np.abs(np.asarray(U[lane]) - ex).max() < 1e-8
+
+
+def test_accurate_step_saturated_refinement():
+    """Saturated lanes reach <=1e-5 via composite-level refinement rounds;
+    a starved budget honestly reports non-convergence."""
+    from copra_tpu.qp.native import native_available
+    from copra_tpu.plan import suggest_rho
+    if not native_available():
+        import pytest
+        pytest.skip("native solver unavailable")
+    As, Bs, ds, x0s, costs = _ltv_fleet(horizon=40)
+    # tight box around the hover control: most coords saturate
+    constraints = (ct.ControlBoundConstraint.create([45.0], [50.5]),)
+    f32 = jnp.float32
+    plan = jax.jit(jax.vmap(lambda a, b, dd_, x0: make_control_plan(
+        ct.LTVSystem(A=a, B=b, d=dd_, x0=x0), costs, constraints)))(
+        jnp.asarray(As, f32), jnp.asarray(Bs, f32), jnp.asarray(ds, f32),
+        jnp.asarray(x0s, f32))
+    rho = suggest_rho(plan)
+    x032 = jnp.asarray(x0s.astype(np.float32))
+    step = make_plan_step(plan,
+                          ct.SolverOptions(max_iter=100, rho=rho),
+                          batched=True, seed_center=x0s, accurate=True,
+                          accurate_rounds=2)
+    warm = None
+    for _ in range(2):
+        U, sol, warm = step(plan, x032, warm)
+    n_sat = 0
+    for lane in range(4):
+        ex = _exact_box(plan, lane, np.asarray(x032)[lane])
+        n_sat += int((ex >= 50.5 - 1e-9).sum() + (ex <= 45.0 + 1e-9).sum())
+        assert np.abs(np.asarray(U[lane]) - ex).max() < 1e-5
+    assert n_sat > 20   # the stress case genuinely saturates
+    # starved budget: honest non-converged status, nonzero dual residual
+    step1 = make_plan_step(plan,
+                           ct.SolverOptions(max_iter=1, rho=rho,
+                                            eps_abs=1e-9, eps_rel=0.0),
+                           batched=True, seed_center=x0s, accurate=True,
+                           accurate_rounds=1)
+    _, sol1, _ = step1(plan, x032, None)
+    assert (np.asarray(sol1.status) != 0).any()
+    assert np.asarray(sol1.dual_residual).max() > 0.0
