@@ -193,8 +193,14 @@ def make_seed_map(plan: ControlPlan, center=None,
     if center is None:
         x0c = np.zeros(u0.shape[:-1] + (x,))
     else:
-        x0c = np.broadcast_to(np.asarray(center, np.float64),
-                              u0.shape[:-1] + (x,))
+        center = np.asarray(center, np.float64)
+        if center.ndim > len(u0.shape[:-1]) + 1:
+            raise ValueError(
+                f"seed center has shape {center.shape} but the plan is "
+                f"unbatched (Q {Q.shape}) — a SHARED plan takes one shared "
+                f"center (shape ({x},)); per-lane centers need a batched "
+                f"plan (vmap make_control_plan over the fleet).")
+        x0c = np.broadcast_to(center, u0.shape[:-1] + (x,))
         u0 = u0 + np.einsum("...x,...xn->...n", x0c, Umap)
     dt = jnp.float64 if keep_f64 else plan.Q.dtype
     return SeedMap(u0=jnp.asarray(u0, dt), Umap=jnp.asarray(Umap, dt),

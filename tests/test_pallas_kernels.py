@@ -82,6 +82,32 @@ def test_fused_box_solution_quality():
                                    atol=5e-4)
 
 
+def test_iter_outer_layout_matches_scenario_layout(monkeypatch):
+    """The iteration-outer kernel (refine=0 default; 1.94x on-chip) must be
+    bit-compatible with the scenario-outer layout — same math, same update
+    order, only the loop nest is swapped."""
+    batch, n, iters = 8, 16, 40
+    qp = random_box_qps(batch, n, seed=9)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    K = (qp.Q + (opts.sigma + opts.rho) * jnp.eye(n)[None]).astype(jnp.float32)
+    Kinv = jnp.linalg.inv(K)
+    zeros = jnp.zeros((batch, n), jnp.float32)
+    args = (Kinv, K, qp.c.astype(jnp.float32), qp.lb.astype(jnp.float32),
+            qp.ub.astype(jnp.float32), zeros, zeros, zeros)
+    kw = dict(n_iter=iters, sigma=opts.sigma, alpha=opts.alpha,
+              rho=opts.rho, refine=0, interpret=True)
+    outs = {}
+    for layout in ("scenario", "iter_outer"):
+        monkeypatch.setenv("COPRA_KERNEL_LAYOUT", layout)
+        # the layout is read at trace time: drop the jit cache between runs
+        fused_admm_box.clear_cache()
+        outs[layout] = fused_admm_box(*args, **kw)
+    fused_admm_box.clear_cache()
+    for a, b in zip(outs["scenario"], outs["iter_outer"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_fused_general_matches_xla_path():
     batch, n, iters = 4, 10, 60
     rng = np.random.default_rng(1)
