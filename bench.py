@@ -213,6 +213,36 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 3),
     }
+
+    # --- roofline accounting (north star: "speed-of-light per chip") ---
+    # FLOPs per solve, analytic (the Pallas kernel is opaque to XLA's
+    # cost analysis): per ADMM iteration one [1,n]x[n,n] K^-1 matvec
+    # (2n^2) + ~10n vector ops; per round one final g = K x matvec; the
+    # seed/affine maps are O(x*n).  n = N*udim = horizon here.
+    n_qp = horizon
+    rounds = int(os.environ.get("BENCH_ROUNDS", "1")) \
+        if mode == "accurate" else 1
+    flops_per_solve = rounds * ((iters + 1) * 2 * n_qp * n_qp
+                                + iters * 10 * n_qp) \
+        + (rounds - 1) * 2 * n_qp * n_qp + 8 * n_qp
+    # HBM bytes per solve: Kinv + K stream once per tick per lane (f32),
+    # plus ~10 length-n vectors (seed/bounds/state/warm).
+    bytes_per_solve = 2 * n_qp * n_qp * 4 + 10 * n_qp * 4
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    # bf16 MXU peak / HBM BW per chip; HIGHEST-precision f32 dots are
+    # ~6 bf16 passes.  Override with BENCH_PEAK_TFLOPS/BENCH_PEAK_GBPS.
+    peaks = {"TPU v5 lite": (197.0, 819.0), "TPU v4": (275.0, 1228.0),
+             "TPU v5": (459.0, 1638.0), "TPU v6 lite": (918.0, 1640.0)}
+    pk_tf, pk_gb = peaks.get(kind, (197.0, 819.0))
+    pk_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", pk_tf)) / 6.0
+    pk_gb = float(os.environ.get("BENCH_PEAK_GBPS", pk_gb))
+    gflops = solves_per_s * flops_per_solve / 1e9
+    gbps = solves_per_s * bytes_per_solve / 1e9
+    out["mfu"] = round(gflops / (pk_tf * 1e3), 5)
+    out["hbm_util"] = round(gbps / pk_gb, 5)
+    out["gflops_per_s"] = round(gflops, 1)
+    out["device_kind"] = kind
     if gate_err is not None:
         out["max_err_vs_exact"] = float(f"{gate_err:.3g}")
     if gate_fail is not None:

@@ -71,13 +71,31 @@ def lqr_solve_sharded(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), (axis,))
     D = mesh.shape[axis]
-    N, x = A.shape[0], A.shape[1]
+    N = A.shape[0]
     if N % D:
         raise ValueError(f"horizon {N} not divisible by {D} shards")
-    dt = A.dtype
 
-    # stage interval elements (linear control cost absorbed; see
-    # lqr_solve_assoc)
+    eA, eb, eC, eJ, eh, term = _stage_elements(A, B, d, Qx, qx, Ru, ru)
+    local = _make_local(axis, D)
+    spec = P(axis)
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P(), spec, spec, spec,
+                  spec, P()),
+        out_specs=(spec, spec, spec), check_vma=False)
+    X_in, Xs, U = jax.jit(mapped)(eA, eb, eC, eJ, eh, term, B, d, Ru, ru,
+                                  x0)
+    X = jnp.concatenate([x0[None], Xs], axis=0)
+    return X, U
+
+
+def _stage_elements(A, B, d, Qx, qx, Ru, ru):
+    """Interval elements + terminal element for the suffix scan.
+
+    Linear control cost absorbed; see ``lqr_solve_assoc``.
+    """
+    x = A.shape[1]
+    dt = A.dtype
     Rinv_ru = jnp.linalg.solve(Ru, ru[..., None])[..., 0]
     BRB = jnp.einsum("kxu,kuv,kyv->kxy", B, jnp.linalg.inv(Ru), B)
     eA = A
@@ -87,8 +105,15 @@ def lqr_solve_sharded(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
     eh = -qx[:-1]
     term = (jnp.eye(x, dtype=dt), jnp.zeros((x,), dt),
             jnp.zeros((x, x), dt), Qx[-1], -qx[-1])
+    return eA, eb, eC, eJ, eh, term
+
+
+def _make_local(axis: str, D: int):
+    """Per-shard LQR solve (suffix scan + collectives over ``axis``)."""
 
     def local(eA, eb, eC, eJ, eh, term, Bv, dv, Ruv, ruv, x0v):
+        x = eA.shape[-1]
+        dt = eA.dtype
         elems = (eA, eb, eC, eJ, eh)
         s = lax.axis_index(axis)
 
@@ -157,13 +182,48 @@ def lqr_solve_sharded(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
         U = jnp.einsum("kux,kx->ku", Ks, X_in) + ks
         return X_in, Xs, U
 
-    spec = P(axis)
+    return local
+
+
+BATCH_AXIS = "batch"
+
+
+@highest_precision
+def lqr_solve_sharded_batch(A: Array, B: Array, d: Array, Qx: Array,
+                            qx: Array, Ru: Array, ru: Array, x0: Array,
+                            mesh: Optional[Mesh] = None,
+                            batch_axis: str = BATCH_AXIS,
+                            axis: str = SEQ_AXIS) -> Tuple[Array, Array]:
+    """Batch x seq LQR: scenarios sharded over ``batch_axis``, each
+    scenario's horizon over ``axis``, on one 2-D mesh.
+
+    Inputs carry a leading batch dim (``A [Bn,N,x,x]``, ``x0 [Bn,x]``,
+    ...).  Per-scenario collectives (all_gather of shard totals) ride the
+    seq axis only; scenarios never communicate.  ``Bn`` must divide by the
+    batch-axis size and ``N`` by the seq-axis size.
+    """
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs.reshape(2, -1), (batch_axis, axis))
+    D = mesh.shape[axis]
+    Bn, N = A.shape[0], A.shape[1]
+    if N % D:
+        raise ValueError(f"horizon {N} not divisible by {D} shards")
+    if Bn % mesh.shape[batch_axis]:
+        raise ValueError(f"batch {Bn} not divisible by "
+                         f"{mesh.shape[batch_axis]} batch shards")
+
+    eA, eb, eC, eJ, eh, term = jax.vmap(_stage_elements)(
+        A, B, d, Qx, qx, Ru, ru)
+    local = jax.vmap(_make_local(axis, D))   # over the LOCAL batch shard
+    b = batch_axis
+    spec = P(b, axis)
     mapped = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, P(), spec, spec, spec,
-                  spec, P()),
+        in_specs=(spec, spec, spec, spec, spec, P(b), spec, spec, spec,
+                  spec, P(b)),
         out_specs=(spec, spec, spec), check_vma=False)
     X_in, Xs, U = jax.jit(mapped)(eA, eb, eC, eJ, eh, term, B, d, Ru, ru,
                                   x0)
-    X = jnp.concatenate([x0[None], Xs], axis=0)
+    X = jnp.concatenate([x0[:, None], Xs], axis=1)
     return X, U

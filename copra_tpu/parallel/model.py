@@ -158,3 +158,125 @@ def solve_qp_model_parallel(qp: DenseQP,
     return QPSolution(x=x, y=y, z=z, status=status,
                       iterations=jnp.asarray(options.max_iter, jnp.int32),
                       primal_residual=r_prim, dual_residual=r_dual)
+
+
+BATCH_AXIS = "batch"
+
+
+@highest_precision
+def solve_qp_dp_tp(qp: DenseQP,
+                   options: SolverOptions = SolverOptions(),
+                   warm_start: Optional[WarmStart] = None,
+                   mesh: Optional[Mesh] = None,
+                   batch_axis: str = BATCH_AXIS,
+                   model_axis: str = MODEL_AXIS) -> QPSolution:
+    """DP x TP: a BATCH of dense QPs over a 2-D ``(batch, model)`` mesh.
+
+    Every leaf of ``qp`` carries a leading batch axis (``Q [B,n,n]``,
+    ``c [B,n]``, ...).  Scenarios are sharded over ``batch_axis`` and each
+    scenario's constraint rows over ``model_axis`` — the composition the
+    module docstring promises.  Per-lane ``C^T(rho z - y)`` reductions psum
+    over the model axis only; lanes never communicate.  ``B`` must divide
+    by the batch-axis size and all lanes share one (padded) row count.
+
+    Fixed iteration count (lockstep across shards); the vmapped
+    single-device solver with identical options is the oracle in
+    ``tests/test_model_parallel.py``.
+    """
+    if mesh is None:
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs.reshape(2, -1), (batch_axis, model_axis))
+    n_row_shards = mesh.shape[model_axis]
+    n_batch_shards = mesh.shape[batch_axis]
+    B = qp.Q.shape[0]
+    if B % n_batch_shards:
+        raise ValueError(
+            f"batch {B} not divisible by {n_batch_shards} batch shards")
+    n = qp.nr_vars
+    dt = qp.Q.dtype
+
+    def stack_one(q):
+        C, l, u, rho = stack_constraints(q, options)
+        m = C.shape[0]
+        m_pad = int(np.ceil(m / n_row_shards) * n_row_shards)
+        return (_pad_rows(C, m_pad, 0.0), _pad_rows(l, m_pad, -jnp.inf),
+                _pad_rows(u, m_pad, 1.0), _pad_rows(rho, m_pad, options.rho))
+
+    C, l, u, rho = jax.vmap(stack_one)(qp)
+    m = C.shape[1]
+
+    if options.row_normalize:
+        rn = jnp.sqrt(jnp.sum(C * C, axis=-1))
+        E = jnp.where(rn > 1e-12, 1.0 / rn, 1.0)
+    else:
+        E = jnp.ones((B, m), dt)
+    C = C * E[..., None]
+    l = E * l
+    u = E * u
+
+    sigma = jnp.asarray(options.sigma, dt)
+    alpha = jnp.asarray(options.alpha, dt)
+
+    def lane_solve(Q_l, c_l, C_s, l_s, u_s, rho_s, x0, y0_s, z0_s):
+        # one scenario: local row shard + psum over the model axis — the
+        # same math as solve_qp_model_parallel.local_solve
+        CtpC = lax.psum((C_s.T * rho_s) @ C_s, model_axis)
+        K = Q_l + sigma * jnp.eye(n, dtype=dt) + CtpC
+        S = 1.0 / jnp.sqrt(jnp.diagonal(K))
+        Ks = K * S[:, None] * S[None, :]
+        Ls = jnp.linalg.cholesky(Ks)
+        eye = jnp.eye(n, dtype=dt)
+        Lsi = lax.linalg.triangular_solve(Ls, eye, left_side=True,
+                                          lower=True)
+        Kinv = (Lsi.T @ Lsi) * S[:, None] * S[None, :]
+        rho_inv_s = 1.0 / rho_s
+
+        def body(_, carry):
+            x, z_s, y_s = carry
+            ctw = lax.psum(C_s.T @ (rho_s * z_s - y_s), model_axis)
+            rhs = sigma * x - c_l + ctw
+            x_t = Kinv @ rhs
+            z_t_s = C_s @ x_t
+            x_n = alpha * x_t + (1 - alpha) * x
+            z_rel = alpha * z_t_s + (1 - alpha) * z_s
+            z_n = jnp.clip(z_rel + rho_inv_s * y_s, l_s, u_s)
+            y_n = y_s + rho_s * (z_rel - z_n)
+            return x_n, z_n, y_n
+
+        x, z_s, y_s = lax.fori_loop(0, options.max_iter, body,
+                                    (x0, z0_s, y0_s))
+        r_prim = lax.pmax(jnp.max(jnp.abs(C_s @ x - z_s),
+                                  initial=jnp.zeros((), dt)), model_axis)
+        cty = lax.psum(C_s.T @ y_s, model_axis)
+        r_dual = jnp.max(jnp.abs(Q_l @ x + c_l + cty))
+        return x, z_s, y_s, r_prim, r_dual
+
+    if warm_start is not None:
+        x0 = warm_start.x
+        y0 = jax.vmap(lambda w: _pad_rows(w, m, 0.0))(warm_start.y) / E
+        z0 = jax.vmap(lambda w: _pad_rows(w, m, 0.0))(warm_start.z) * E
+    else:
+        x0 = jnp.zeros((B, n), dt)
+        y0 = jnp.zeros((B, m), dt)
+        z0 = jnp.zeros((B, m), dt)
+
+    local = jax.vmap(lane_solve)   # over the LOCAL batch shard
+    b, mx = batch_axis, model_axis
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(b, None, None), P(b, None), P(b, mx, None), P(b, mx),
+                  P(b, mx), P(b, mx), P(b, None), P(b, mx), P(b, mx)),
+        out_specs=(P(b, None), P(b, mx), P(b, mx), P(b), P(b)),
+        check_vma=False)
+    x, z, y, r_prim, r_dual = jax.jit(mapped)(qp.Q, qp.c, C, l, u, rho,
+                                              x0, y0, z0)
+    y = E * y
+    z = z / E
+
+    eps_floor = 25.0 * float(jnp.finfo(dt).eps)
+    conv = ((r_prim <= max(options.eps_abs, eps_floor) * 10)
+            & (r_dual <= max(options.eps_abs, eps_floor) * 10))
+    status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
+    return QPSolution(x=x, y=y, z=z, status=status,
+                      iterations=jnp.full((B,), options.max_iter, jnp.int32),
+                      primal_residual=r_prim, dual_residual=r_dual)

