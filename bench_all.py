@@ -1,0 +1,427 @@
+"""All-config benchmark: one JSON line per BASELINE.md config.
+
+BASELINE.json benchmark configs (the reference publishes no numbers of
+its own — targets come from BASELINE.json):
+
+1. LTI double integrator N=10, trajectory+control cost, control bounds.
+2. LTI N=10 with the full constraint set (trajectory / control / mixed /
+   trajectory-bound / control-bound).
+3. LTV N=10 with TrajectoryCost + ControlCost (per-lane dynamics).
+4. 1k-4k batched randomized LTV, warm-started — that is ``bench.py``
+   (the headline; run it separately).
+5. Bipedal CoM preview, N=300, ZMP polygon rows, real-time budget —
+   fleet tick latency, median-of-K, single-robot and fleet points.
+
+Configs 1 and 3 are box-only and run the f64-exact accurate serving path
+(same as the headline).  Configs 2 and 5 carry general rows and run the
+f32 general plan path.  Every line carries an accuracy gate
+(``max_err_vs_exact``) vs the exact f64 native active-set solution of the
+same QPs — a throughput number without the gate is unverified
+(docs/PERFORMANCE.md lesson 1).
+
+Run:   PYTHONPATH=/root/repo:/root/.axon_site python bench_all.py
+       python bench_all.py --config 5     # one config only
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BUDGET_MS_CONFIG5 = 5.0    # T = 5 ms sampling period of the LIPM preview
+
+
+def _setup_jax():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _lane_plan(plan, lane):
+    """Slice one lane out of a (possibly partially) batched plan."""
+    import jax
+    from copra_tpu.plan import ControlPlan
+    base = ControlPlan(Q=2, c0=1, Cmap=2, Aeq=2, beq0=1, Beqmap=2,
+                       Aineq=2, bineq0=1, Bineqmap=2, lb=1, ub=1,
+                       Phi=2, Psi=2, xi=1, xdim=plan.xdim, udim=plan.udim,
+                       horizon=plan.horizon)
+    return jax.tree_util.tree_map(
+        lambda leaf, nd: leaf[lane] if leaf.ndim > nd else leaf, plan, base)
+
+
+def _gate(plan, x0_last, u, lanes):
+    """Max |u - exact| over sampled lanes (exact = f64 native active-set
+    of the same f32-data QP, the bench.py honesty gate)."""
+    import copra_tpu as ct
+    from copra_tpu.plan import plan_qp
+    from copra_tpu.qp.native import solve_qp_native
+    errs = []
+    for lane in lanes:
+        qp = plan_qp(_lane_plan(plan, lane),
+                     np.asarray(x0_last[lane], np.float64))
+        qp64 = ct.DenseQP(*[np.asarray(leaf, np.float64)
+                            for leaf in (qp.Q, qp.c, qp.Aeq, qp.beq,
+                                         qp.Aineq, qp.bineq, qp.lb, qp.ub)])
+        exact = solve_qp_native(qp64)
+        errs.append(float(np.abs(np.asarray(u[lane], np.float64)
+                                 - np.asarray(exact.x)).max()))
+    return max(errs)
+
+
+def _time_ticks(step, plan, x0_seq, steps):
+    """Warm up 2 ticks, then time ``steps`` ticks; returns per-tick secs."""
+    import jax
+    u, _, warm = step(plan, x0_seq[0], None)
+    u, _, warm = step(plan, x0_seq[1], warm)
+    jax.block_until_ready(u)
+    times = []
+    for t in range(steps):
+        t0 = time.perf_counter()
+        u, sol, warm = step(plan, x0_seq[2 + t], warm)
+        jax.block_until_ready(u)
+        times.append(time.perf_counter() - t0)
+    return u, sol, times
+
+
+def _emit(out):
+    print(json.dumps(out), flush=True)
+
+
+def _double_integrator(T=0.1):
+    A = np.array([[1.0, T], [0.0, 1.0]])
+    B = np.array([[0.5 * T * T], [T]])
+    d = np.zeros(2)
+    return A, B, d
+
+
+def config1():
+    """LTI double integrator N=10, traj+control cost, control bounds."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.autospan import span_matrix
+    from copra_tpu.plan import make_control_plan, make_plan_step, suggest_rho
+
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 300))
+    rounds = int(os.environ.get("BENCH_ROUNDS", 3))
+    N = 10
+    A, B, d = _double_integrator()
+    rng = np.random.default_rng(1)
+    x0s = np.array([1.0, 0.0])[None] + rng.normal(scale=[0.3, 0.2],
+                                                  size=(batch, 2))
+    f32 = jnp.float32
+    system = ct.LTISystem.create(A.astype(np.float32),
+                                 B.astype(np.float32),
+                                 d.astype(np.float32),
+                                 x0s[0].astype(np.float32), N)
+    # track position -> 0 over the horizon (full-size TrajectoryCost),
+    # small control effort, tight accel bounds so lanes saturate
+    pos_row = np.asarray(span_matrix(np.array([[1.0, 0.0]]), N + 1))
+    costs = (ct.TrajectoryCost(M=jnp.asarray(pos_row, f32),
+                               p=jnp.zeros(N + 1, f32),
+                               weights=jnp.full(N + 1, 10.0, f32)),
+             ct.SimpleControlCost(p=jnp.zeros(N, f32),
+                                  weights=jnp.full(N, 1e-3, f32)))
+    constraints = (ct.ControlBoundConstraint.create([-2.0], [2.0]),)
+    plan = make_control_plan(system, costs, constraints)
+    # suggest_rho's geometric-mean heuristic stalls when nearly every
+    # coordinate saturates (measured: rho=0.003 -> err 4.0 at any iters;
+    # rho=0.1 -> 8e-6); heavily-saturated tiny-n problems want a larger
+    # static rho
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
+                            rho=float(os.environ.get("BENCH_RHO", "0.1")))
+    step = make_plan_step(plan, opts, batched=True, seed_center=x0s.mean(0),
+                          accurate=True, accurate_rounds=rounds)
+    drift = rng.normal(scale=0.02, size=(steps + 2, batch, 2)).cumsum(0)
+    x0_seq = [jnp.asarray((x0s + drift[t]).astype(np.float32))
+              for t in range(steps + 2)]
+    u, sol, times = _time_ticks(step, plan, x0_seq, steps)
+    sps = batch * steps / sum(times)
+    err = _gate(plan, np.asarray(x0_seq[-1]), u, (0, 1, 17, batch - 1))
+    _emit({"config": 1,
+           "metric": "LTI double-integrator N=10 solves/s "
+                     f"(B={batch}, accurate path, {iters} iters)",
+           "value": round(sps, 1), "unit": "solves/s",
+           "max_err_vs_exact": float(f"{err:.3g}"),
+           "iterations": rounds * iters,
+           "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
+
+
+def config2():
+    """LTI N=10 with trajectory/control/mixed/bound constraints."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.plan import make_control_plan, make_plan_step
+
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 400))
+    N = 10
+    A, B, d = _double_integrator()
+    rng = np.random.default_rng(2)
+    x0s = np.array([1.0, 0.0])[None] + rng.normal(scale=[0.3, 0.2],
+                                                  size=(batch, 2))
+    system = ct.LTISystem.create(A.astype(np.float32),
+                                 B.astype(np.float32),
+                                 d.astype(np.float32),
+                                 x0s[0].astype(np.float32), N)
+    costs = (ct.TargetCost.create(np.eye(2), [0.0, 0.0],
+                                  weights=[10.0, 1.0]),
+             ct.ControlCost.create([[1.0]], [0.0], weights=[1e-3]))
+    constraints = (
+        ct.TrajectoryConstraint.create([[0.0, 1.0]], [1.5]),     # vel <= 1.5
+        ct.ControlConstraint.create([[1.0]], [1.9]),             # u <= 1.9
+        ct.MixedConstraint.create([[1.0, 0.0]], [[0.1]], [3.0]),  # x+0.1u<=3
+        ct.TrajectoryBoundConstraint.create([-5.0, -2.0], [5.0, 2.0]),
+        ct.ControlBoundConstraint.create([-2.0], [2.0]),
+    )
+    plan = make_control_plan(system, costs, constraints)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    step = make_plan_step(plan, opts, batched=True,
+                          seed_center=x0s.mean(0))
+    drift = rng.normal(scale=0.02, size=(steps + 2, batch, 2)).cumsum(0)
+    x0_seq = [jnp.asarray((x0s + drift[t]).astype(np.float32))
+              for t in range(steps + 2)]
+    u, sol, times = _time_ticks(step, plan, x0_seq, steps)
+    sps = batch * steps / sum(times)
+    err = _gate(plan, np.asarray(x0_seq[-1]), u, (0, 1, 17, batch - 1))
+    _emit({"config": 2,
+           "metric": "LTI N=10 full-constraint-set solves/s "
+                     f"(B={batch}, general plan path, {iters} iters)",
+           "value": round(sps, 1), "unit": "solves/s",
+           "max_err_vs_exact": float(f"{err:.3g}"),
+           "iterations": iters,
+           "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
+
+
+def config3():
+    """LTV N=10 with TrajectoryCost + ControlCost (per-lane dynamics)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.autospan import span_matrix
+    from copra_tpu.plan import make_control_plan, make_plan_step, suggest_rho
+
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    N = 10
+    A, B, d = _double_integrator()
+    rng = np.random.default_rng(3)
+    As = np.repeat(np.repeat(A[None], N, 0)[None], batch, 0)
+    As += rng.normal(scale=1e-3, size=As.shape)
+    Bs = np.repeat(np.repeat(B[None], N, 0)[None], batch, 0)
+    Bs += rng.normal(scale=1e-3, size=Bs.shape)
+    ds = np.repeat(np.repeat(d[None], N, 0)[None], batch, 0)
+    x0s = np.array([1.0, 0.0])[None] + rng.normal(scale=[0.3, 0.2],
+                                                  size=(batch, 2))
+    f32 = jnp.float32
+    pos_row = np.asarray(span_matrix(np.array([[1.0, 0.0]]), N + 1))
+    costs = (ct.TrajectoryCost(M=jnp.asarray(pos_row, f32),
+                               p=jnp.zeros(N + 1, f32),
+                               weights=jnp.full(N + 1, 10.0, f32)),
+             ct.SimpleControlCost(p=jnp.zeros(N, f32),
+                                  weights=jnp.full(N, 1e-3, f32)))
+
+    def plan_one(A_, B_, d_, x0_):
+        return make_control_plan(
+            ct.LTVSystem(A=A_, B=B_, d=d_, x0=x0_), costs, ())
+
+    plan = jax.jit(jax.vmap(plan_one))(
+        jnp.asarray(As, jnp.float32), jnp.asarray(Bs, jnp.float32),
+        jnp.asarray(ds, jnp.float32), jnp.asarray(x0s, jnp.float32))
+    jax.block_until_ready(plan.Q)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
+                            rho=suggest_rho(plan))
+    step = make_plan_step(plan, opts, batched=True, seed_center=x0s,
+                          accurate=True, accurate_rounds=1)
+    drift = rng.normal(scale=0.02, size=(steps + 2, batch, 2)).cumsum(0)
+    x0_seq = [jnp.asarray((x0s + drift[t]).astype(np.float32))
+              for t in range(steps + 2)]
+    u, sol, times = _time_ticks(step, plan, x0_seq, steps)
+    sps = batch * steps / sum(times)
+    err = _gate(plan, np.asarray(x0_seq[-1]), u, (0, 1, 17, batch - 1))
+    _emit({"config": 3,
+           "metric": "LTV N=10 cost-only solves/s "
+                     f"(B={batch}, accurate path, {iters} iters)",
+           "value": round(sps, 1), "unit": "solves/s",
+           "max_err_vs_exact": float(f"{err:.3g}"),
+           "iterations": iters,
+           "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
+
+
+def _bipedal_workload():
+    """Shared config-5 data: LIPM triple integrator + footstep plan."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    from bipedal_walking import footstep_plan, lipm_system
+    from copra_tpu.autospan import span_matrix
+
+    horizon, T = 300, 0.005
+    A, B, d, zmp_row = lipm_system(T, 0.8)
+    ref, lo, hi = footstep_plan(4, horizon, T)
+    Zfull = np.asarray(span_matrix(zmp_row, horizon + 1))
+    return horizon, T, A, B, d, zmp_row, Zfull, ref, lo, hi
+
+
+def _zmp_exact(A, B, d, zmp_row, ref_ax, lo_ax, hi_ax, x0,
+               zmp_w=1.0, jerk_w=1e-6, ridge=1e-6):
+    """f64 condensed assembly + native active-set solve of one ZMP axis.
+
+    The honesty oracle for config 5: same f32-origin data, condensed in
+    f64 (Phi/Psi recursion), ZMP rows as inequality pairs, solved exactly.
+    Returns ``(U_exact, X_exact)``.
+    """
+    import copra_tpu as ct
+    from copra_tpu.qp.native import solve_qp_native
+
+    N = len(ref_ax) - 1
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)[:, 0]
+    d = np.asarray(d, np.float64)
+    x = A.shape[0]
+    Phi = np.zeros((N + 1, x, x))
+    Psi = np.zeros((N + 1, x, N))
+    xi = np.zeros((N + 1, x))
+    Phi[0] = np.eye(x)
+    for k in range(1, N + 1):
+        Phi[k] = A @ Phi[k - 1]
+        Psi[k] = A @ Psi[k - 1]
+        Psi[k][:, k - 1] += B
+        xi[k] = A @ xi[k - 1] + d
+    z_row = np.asarray(zmp_row, np.float64).ravel()
+    Zphi = np.einsum("x,kxy->ky", z_row, Phi)       # [N+1, x]
+    Zpsi = np.einsum("x,kxu->ku", z_row, Psi)       # [N+1, N]
+    Zxi = xi @ z_row                                # [N+1]
+    zoff = Zphi @ np.asarray(x0, np.float64) + Zxi
+    Q = zmp_w * (Zpsi.T @ Zpsi) + (jerk_w + ridge) * np.eye(N)
+    c = zmp_w * (Zpsi.T @ (zoff - np.asarray(ref_ax, np.float64)))
+    Aineq = np.concatenate([Zpsi, -Zpsi], axis=0)
+    bineq = np.concatenate([np.asarray(hi_ax, np.float64) - zoff,
+                            zoff - np.asarray(lo_ax, np.float64)])
+    sol = solve_qp_native(ct.DenseQP(
+        Q=Q, c=c, Aeq=np.zeros((0, N)), beq=np.zeros(0),
+        Aineq=Aineq, bineq=bineq,
+        lb=np.full(N, -np.inf), ub=np.full(N, np.inf)))
+    U = np.asarray(sol.x)
+    X = Phi @ np.asarray(x0, np.float64) + Psi @ U + xi
+    return U, X, (Zphi, Zpsi, Zxi)
+
+
+def config5():
+    """Bipedal ZMP preview fleet via the STAGEWISE path (O(N)/iteration
+    Riccati-in-ADMM with per-stage ZMP rows — the long-horizon engine;
+    the condensed plan path stalls on the x-axis at 2000 iterations,
+    objective gap 0.08)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.qp.riccati import from_mpc, solve_stagewise
+
+    horizon, T, A, B, d, zmp_row, Zfull, ref, lo, hi = _bipedal_workload()
+    f32 = jnp.float32
+    iters = int(os.environ.get("BENCH_ITERS", 300))
+    ticks = int(os.environ.get("BENCH_STEPS", 5))
+    pscan = bool(int(os.environ.get("BENCH_PARALLEL_SCAN", "0")))
+    system = ct.LTISystem.create(A.astype(np.float32),
+                                 B.astype(np.float32),
+                                 d.astype(np.float32),
+                                 np.zeros(3, np.float32), horizon)
+
+    def axis_sqp(ax):
+        costs = (ct.TrajectoryCost(M=jnp.asarray(Zfull, f32),
+                                   p=jnp.asarray(ref[ax], f32),
+                                   weights=jnp.full(horizon + 1, 1.0, f32)),
+                 ct.SimpleControlCost(p=jnp.zeros(horizon, f32),
+                                      weights=jnp.full(horizon, 1e-6,
+                                                       f32)))
+        constraints = (ct.TrajectoryConstraint(E=jnp.asarray(Zfull, f32),
+                                               f=jnp.asarray(hi[ax], f32)),
+                       ct.TrajectoryConstraint(E=jnp.asarray(-Zfull, f32),
+                                               f=jnp.asarray(-lo[ax], f32)))
+        return from_mpc(system, costs, constraints)
+
+    sq = [axis_sqp(0), axis_sqp(1)]
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
+                            rho=float(os.environ.get("BENCH_RHO", "1.0")))
+
+    @jax.jit
+    def tick(sqp_b, x0_b):
+        sqp_t = dataclasses.replace(sqp_b, x0=x0_b)
+        return jax.vmap(
+            lambda s: solve_stagewise(s, opts, parallel_scan=pscan))(sqp_t)
+
+    for robots in (1, int(os.environ.get("BENCH_ROBOTS", 256))):
+        lanes = 2 * robots
+        sqp_b = jax.tree_util.tree_map(
+            lambda *ls: jnp.tile(jnp.stack(ls), (robots,) + (1,) *
+                                 ls[0].ndim), *sq)
+        rng = np.random.default_rng(5)
+        x0_seq = [jnp.asarray(rng.normal(scale=0.005, size=(lanes, 3))
+                              .astype(np.float32))
+                  for _ in range(ticks + 1)]
+        X, U, info = tick(sqp_b, x0_seq[0])          # compile + warmup
+        jax.block_until_ready(U)
+        times = []
+        for t in range(ticks):
+            t0 = time.perf_counter()
+            X, U, info = tick(sqp_b, x0_seq[1 + t])
+            jax.block_until_ready(U)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+
+        # honesty gates (lane 0 = x axis, lane 1 = y axis of robot 0)
+        x0_last = np.asarray(x0_seq[ticks], np.float64)
+        u_err = zmp_err = viol = 0.0
+        for lane, ax in ((0, 0), (1, 1)):
+            Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
+                system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
+                hi[ax], x0_last[lane])
+            U_l = np.asarray(U[lane], np.float64).ravel()
+            u_err = max(u_err, np.abs(U_l - Ue).max())
+            zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
+            ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
+            zmp_err = max(zmp_err, np.abs(zl - ze).max())
+            viol = max(viol, float(np.maximum(zl - hi[ax],
+                                              lo[ax] - zl).max()))
+        _emit({"config": 5,
+               "metric": f"bipedal ZMP N=300 fleet tick, stagewise path "
+                         f"(robots={robots}, lanes={lanes}, {iters} "
+                         f"iters, median of {ticks})",
+               "value": round(med * 1e3, 2), "unit": "ms/tick",
+               "per_robot_ms": round(med * 1e3 / robots, 4),
+               "budget_ms": BUDGET_MS_CONFIG5,
+               "within_budget_per_robot": med * 1e3 / robots
+               <= BUDGET_MS_CONFIG5,
+               "tick_times_ms": [round(t * 1e3, 2) for t in times],
+               "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
+               "polygon_violation": float(f"{viol:.3g}"),
+               "iterations": iters,
+               "converged_frac": float(np.mean(np.asarray(info.status)
+                                               == 0))})
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5}
+
+
+def main():
+    which = None
+    if "--config" in sys.argv:
+        which = int(sys.argv[sys.argv.index("--config") + 1])
+    for n, fn in sorted(CONFIGS.items()):
+        if which is None or n == which:
+            fn()
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,11 @@ def build_qp(preview: Preview, x0: Array,
         Qi, ci = cost.lower(preview, x0)
         Q = Q + Qi
         c = c + ci
+    # exact symmetrization: the f32 M'WM products carry ~eps asymmetry,
+    # which the ill-conditioned directions amplify into ~1e-4 ambiguity
+    # about WHICH QP is being solved (solvers that read only the lower
+    # triangle vs full-Q matvecs disagree) — pin the problem down here
+    Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
 
     eq_A, eq_b, ineq_A, ineq_b = [], [], [], []
     lb = jnp.full((n,), -jnp.inf, dt)

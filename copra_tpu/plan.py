@@ -312,8 +312,11 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
                 # gradient at the composite iterate: Q x + c =
                 # Q (x - xs) exactly, because Q xs + c = 0 by seed
                 # construction (f64, exact for the f32 plan data)
-                r64 = jnp.einsum("bnm,bm->bn", plan_b.Q.astype(f64),
-                                 base64 - xs64)
+                Q64 = plan_b.Q.astype(f64)
+                if Q64.ndim == 3:
+                    r64 = jnp.einsum("bnm,bm->bn", Q64, base64 - xs64)
+                else:
+                    r64 = (base64 - xs64) @ Q64   # Q symmetric, shared plan
                 r32 = r64.astype(f32)
         # f64 combine; snap active coordinates to their exact bounds
         thr = f32(1e-6) * jnp.maximum(
@@ -698,6 +701,14 @@ def make_plan_step(plan: ControlPlan,
         return jax.tree_util.tree_map(
             lambda leaf, nd: 0 if leaf.ndim > nd else None, plan_b, base)
 
+    def _seed_axes(seed):
+        # per-leaf ranks, NOT q_batched: a shared-matrix plan with
+        # per-lane references (batched c0) has a batched u0 over a
+        # shared Umap — the common "one model, fleet of references" case
+        return SeedMap(u0=0 if seed.u0.ndim > 1 else None,
+                       Umap=0 if seed.Umap.ndim > 2 else None,
+                       x0c=0 if seed.x0c.ndim > 1 else None)
+
     if box_only:
         kax = 0 if q_batched else None
 
@@ -705,7 +716,7 @@ def make_plan_step(plan: ControlPlan,
         def stepb(plan_b, Kinv, K, seed, x0_b, warm_b):
             warm_axes = (WarmStart(x=0, y=0, z=0)
                          if warm_b is not None else None)
-            seed_axes = SeedMap(u0=kax, Umap=kax, x0c=kax)
+            seed_axes = _seed_axes(seed)
             return jax.vmap(single,
                             in_axes=(_axes(plan_b), kax, kax, seed_axes, 0,
                                      warm_axes))(plan_b, Kinv, K, seed,
@@ -719,7 +730,7 @@ def make_plan_step(plan: ControlPlan,
     @jax.jit
     def stepb_gen(plan_b, C, E, rho_vec, K, Kinv, seed, x0_b, warm_b):
         warm_axes = WarmStart(x=0, y=0, z=0) if warm_b is not None else None
-        seed_axes = SeedMap(u0=kax, Umap=kax, x0c=kax)
+        seed_axes = _seed_axes(seed)
         return jax.vmap(single,
                         in_axes=(_axes(plan_b), kax, kax, kax, kax, kax,
                                  seed_axes, 0, warm_axes))(

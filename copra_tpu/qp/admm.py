@@ -199,7 +199,7 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
     # Ruiz equilibration: ADMM runs in the scaled space; results and
     # residuals are reported unscaled.  Essential for f32 (TPU) numerics.
     box_only = (qp.nr_eq == 0 and qp.nr_ineq == 0)
-    if options.scaling > 0:
+    if options.scaling > 0 and not box_only:
         Qs, cs, Cs, D, E, cost_s = ruiz_equilibrate(
             qp.Q, qp.c, C, options.scaling)
         ls, us = E * l, E * u

@@ -33,7 +33,7 @@ def test_model_parallel_matches_single_device():
     # fixed-rho lockstep path: run both sides in the original row metric
     # (row normalization needs adaptive rho to pay off on this problem)
     opts = ct.SolverOptions(max_iter=1500, early_exit=False, polish=False,
-                            row_normalize=False)
+                            row_normalize=False, scaling=0)
     ref = ct.solve_qp(qp, opts)
     mesh = Mesh(np.asarray(jax.devices()), ("model",))
     sol = solve_qp_model_parallel(qp, opts, mesh=mesh)
@@ -45,7 +45,7 @@ def test_model_parallel_golden_control():
     from fixtures import GOLDEN_CONTROL
     qp = golden_qp()
     opts = ct.SolverOptions(max_iter=4000, early_exit=False, polish=False,
-                            row_normalize=False)
+                            row_normalize=False, scaling=0)
     mesh = Mesh(np.asarray(jax.devices()), ("model",))
     sol = solve_qp_model_parallel(qp, opts, mesh=mesh)
     np.testing.assert_allclose(np.asarray(sol.x), GOLDEN_CONTROL, atol=2e-3)
@@ -54,7 +54,7 @@ def test_model_parallel_golden_control():
 def test_model_parallel_warm_start():
     qp = golden_qp()
     opts = ct.SolverOptions(max_iter=800, early_exit=False, polish=False,
-                            row_normalize=False)
+                            row_normalize=False, scaling=0)
     mesh = Mesh(np.asarray(jax.devices()), ("model",))
     s1 = solve_qp_model_parallel(qp, opts, mesh=mesh)
     warm = ct.WarmStart(x=s1.x, y=s1.y, z=s1.z)
@@ -118,7 +118,7 @@ def test_dp_tp_two_axis_mesh_matches_vmapped_single_device():
         lambda x0: ct.build_qp(preview, x0, costs, constraints))(x0s)
 
     opts = ct.SolverOptions(max_iter=1200, early_exit=False, polish=False,
-                            row_normalize=False)
+                            row_normalize=False, scaling=0)
     ref = jax.vmap(lambda q: ct.solve_qp(q, opts))(qp_b)
 
     mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4),
