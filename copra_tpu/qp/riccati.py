@@ -24,6 +24,7 @@ cross-validation oracle in tests.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -359,8 +360,13 @@ def lqr_solve(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
         return (V_n, v_n), (Kk, kk)
 
     inputs = (A, B, d, Qx[:-1], qx[:-1], Ru, ru, S)
+    # measured on-chip (stagewise ZMP warm tick): unroll HURTS on TPU
+    # (1: 56 ms, 8: 73 ms, 32: 63 ms) — the dependent chain, not scan
+    # bookkeeping, is the latency; unrolling only bloats the program.
+    # Knob kept for other backends/shapes.
+    unroll = int(os.environ.get("COPRA_LQR_UNROLL", "1"))
     (_, _), (Ks, ks) = lax.scan(backward, (Qx[-1], qx[-1]), inputs,
-                                reverse=True)
+                                reverse=True, unroll=unroll)
 
     def forward(x, inp):
         A_k, B_k, d_k, K_k, k_k = inp
@@ -368,7 +374,7 @@ def lqr_solve(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
         x_n = A_k @ x + B_k @ u_k + d_k
         return x_n, (x_n, u_k)
 
-    _, (Xs, Us) = lax.scan(forward, x0, (A, B, d, Ks, ks))
+    _, (Xs, Us) = lax.scan(forward, x0, (A, B, d, Ks, ks), unroll=unroll)
     X = jnp.concatenate([x0[None], Xs], axis=0)
     return X, Us
 
@@ -492,7 +498,8 @@ def lqr_solve_assoc(A: Array, B: Array, d: Array, Qx: Array, qx: Array,
 def solve_stagewise(sqp: StagewiseQP,
                     options: SolverOptions = SolverOptions(),
                     warm_start=None,
-                    parallel_scan: bool = False
+                    parallel_scan: bool = False,
+                    return_warm: bool = False
                     ) -> Tuple[Array, Array, QPSolution]:
     """Stagewise MPC by Riccati-in-ADMM: boxes + general per-stage rows.
 
@@ -574,6 +581,22 @@ def solve_stagewise(sqp: StagewiseQP,
             else:
                 zS0 = jnp.clip(jnp.zeros((N, r), dt), slo, shi)
                 yS0 = jnp.zeros((N, r), dt)
+        if options.seed != "zero" and not has_rows:
+            # Hybrid warm start for BOX-ONLY problems (docs/PERFORMANCE.md
+            # moral 4, measured on the condensed plan path and reproduced
+            # here): duals are the active-set memory worth carrying across
+            # a receding tick; the stale primal splits only add noise once
+            # x0 has moved — re-seed z at the clipped unconstrained
+            # optimum of the NEW problem (one extra sweep), keep duals.
+            # With GENERAL ROWS the opposite holds (measured on the f32
+            # ZMP tick: reseeding zS drops warm 30-iter convergence from
+            # every lane to half) — the row splits encode the polygon
+            # active set, which the unconstrained seed destroys; carry
+            # the full incoming state instead.
+            Xu, Uu = sweep(sqp.A, sqp.B, sqp.d, sqp.Qx, sqp.qx, sqp.Ru,
+                           sqp.ru, sqp.x0)
+            zX0 = jnp.clip(Xu, sqp.xlb, sqp.xub)
+            zU0 = jnp.clip(Uu, sqp.ulb, sqp.uub)
     elif options.seed != "zero":
         # seed at the clipped unconstrained optimum (one extra sweep):
         # golden-tolerance convergence in ~500 iterations vs ~5e-3 error
@@ -669,6 +692,13 @@ def solve_stagewise(sqp: StagewiseQP,
         status=status, iterations=jnp.asarray(options.max_iter, jnp.int32),
         primal_residual=r_prim,
         dual_residual=r_dual)
+    if return_warm:
+        # ready-to-refeed warm tuple in the INTERNAL metrics (zS/yS are
+        # row-normalized) — the receding-horizon tick carries this across
+        # solves; see the warm_start branch above for the expected layout
+        warm = ((zX, zU, yX, yU, zS, yS) if has_rows
+                else (zX, zU, yX, yU))
+        return X, U, info, warm
     return X, U, info
 
 

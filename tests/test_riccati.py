@@ -105,6 +105,41 @@ def test_stagewise_vmap_batch():
             Us[b].reshape(-1))) <= 1e-10
 
 
+def test_stagewise_return_warm_receding():
+    """return_warm=True hands back the (z, y) tuple; warm-started ticks at
+    a small iteration budget track the exact solution through a receding
+    loop (the deployment pattern; VERDICT r2 #8)."""
+    import dataclasses
+
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs, cons = costs_constraints()
+    sqp = from_mpc(system, costs, cons)
+
+    cold_opts = ct.SolverOptions(max_iter=2000, early_exit=False)
+    warm_opts = ct.SolverOptions(max_iter=150, early_exit=False)
+    X, U, info, warm = solve_stagewise(sqp, cold_opts, return_warm=True)
+    assert int(info.status) == ct.STATUS_SOLVED
+
+    rng = np.random.default_rng(9)
+    x0 = np.asarray(SMALL_X0, np.float64)
+    for _ in range(3):
+        x0 = x0 + rng.normal(scale=[0.002, 0.005])
+        sqp_t = dataclasses.replace(sqp, x0=jnp.asarray(x0, sqp.x0.dtype))
+        X, U, info, warm = solve_stagewise(sqp_t, warm_opts,
+                                           warm_start=warm,
+                                           return_warm=True)
+    # the warm 150-iteration tick tracks the converged solution (this
+    # fixture's spectrum is harsh — cold start needs ~2000 iterations;
+    # the load-bearing claim is the warm-vs-cold comparison below)
+    Xr, Ur, info_r = solve_stagewise(sqp_t, cold_opts)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(Ur), atol=5e-3)
+    # and beats the cold tick at the SAME iteration budget
+    Xc, Uc, _ = solve_stagewise(sqp_t, warm_opts)
+    e_warm = np.abs(np.asarray(U) - np.asarray(Ur)).max()
+    e_cold = np.abs(np.asarray(Uc) - np.asarray(Ur)).max()
+    assert e_warm <= e_cold + 1e-12
+
+
 def test_stagewise_rejects_genuinely_coupling_entries():
     system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
     mixed = ct.MixedCost.create(M, np.zeros((2, 1)), XD, weights=WX)
