@@ -18,6 +18,12 @@ Two operating points, both printed in ONE JSON line:
 The accuracy gate (``max_err_vs_exact``) compares several lanes of the
 timed result against the exact f64 solution (native C++ active-set
 oracle) of the same f32-data QPs; never quote the throughput without it.
+
+The control bound is chosen so it BINDS (~27% of coordinates saturate,
+every lane constrained) — round 2 discovered the original +/-300 bound
+was never active, which made the gate trivially satisfiable by the f64
+seed alone and the timed iterations dead weight.  ``BENCH_BOUND``
+overrides (e.g. 300 reproduces the old non-binding workload).
 """
 
 import json
@@ -75,7 +81,14 @@ def main():
     costs = (ct.TargetCost.create(np.eye(2), [0.0, -1.0],
                                   weights=[10.0, 1e4]),
              ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
-    constraints = (ct.ControlBoundConstraint.create([-300.0], [300.0]),)
+    # The bound must BIND or the bench is a lie: at the original +/-300
+    # no lane ever touched it (the f64 seed alone was the exact solution
+    # and the iterations were dead weight).  At +/-60, ~27% of control
+    # coordinates saturate and EVERY lane carries an active constraint
+    # (unconstrained |u| spans ~41..73 across the fleet), so the timed
+    # iterations are doing the actual projection work the gate verifies.
+    bound = float(os.environ.get("BENCH_BOUND", "60.0"))
+    constraints = (ct.ControlBoundConstraint.create([-bound], [bound]),)
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
                             rho=float(os.environ.get("BENCH_RHO", "1.0")),
                             kkt_refine=int(os.environ.get("BENCH_REFINE",
@@ -93,7 +106,10 @@ def main():
                                            system.x0)
         jax.block_until_ready(plan.Q)
         if "BENCH_RHO" not in os.environ:
-            opts = opts.replace(rho=suggest_rho(plan))
+            # 0.1x the spectral suggestion: measured knee on the saturated
+            # workload (rho=sr needs 2 refinement rounds for 1e-6; 0.1*sr
+            # reaches the same floor in ONE round at 30 iterations)
+            opts = opts.replace(rho=0.1 * suggest_rho(plan))
         plan_step = make_plan_step(
             plan, opts, batched=True, seed_center=x0s, accurate=True,
             accurate_rounds=int(os.environ.get("BENCH_ROUNDS", "1")))
@@ -105,7 +121,8 @@ def main():
         # pure-f32 serving path: condense + QP assembly + KKT factorization
         # happen ONCE (make_control_plan / make_plan_step); each timed tick
         # is the x0-affine update + fixed ADMM iterations
-        from copra_tpu.plan import make_control_plan, make_plan_step
+        from copra_tpu.plan import (make_control_plan, make_plan_step,
+                                    suggest_rho)
 
         def plan_one(A_, B_, d_, x0_):
             return make_control_plan(ct.LTVSystem(A=A_, B=B_, d=d_, x0=x0_),
@@ -114,6 +131,10 @@ def main():
         plan = jax.jit(jax.vmap(plan_one))(system.A, system.B, system.d,
                                            system.x0)
         jax.block_until_ready(plan.Q)
+        if "BENCH_RHO" not in os.environ:
+            # same measured knee as the accurate path (saturated lanes
+            # stall at rho=1 — docs/PERFORMANCE.md moral 8)
+            opts = opts.replace(rho=0.1 * suggest_rho(plan))
         plan_step = make_plan_step(plan, opts, batched=True,
                                    use_fused=None if mode == "plan"
                                    else False,

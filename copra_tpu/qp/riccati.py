@@ -767,3 +767,59 @@ def solve_mpc_stagewise(system: System,
     """
     sqp = from_mpc(system, costs, constraints)
     return solve_stagewise(sqp, options, warm_start, parallel_scan)
+
+
+def stack_stagewise(sqps: Sequence[StagewiseQP],
+                    repeats: int = 1) -> StagewiseQP:
+    """Stack per-lane stagewise problems into one batched pytree.
+
+    ``repeats`` tiles the stacked lanes (e.g. a fleet of ``R`` robots
+    each solving the same two per-axis problems at its own state:
+    ``stack_stagewise([sqp_x, sqp_y], repeats=R)`` → ``2R`` lanes).  The
+    leaves are small (O(N·x²) per lane — no condensed matrices), so
+    fleet plans are megabytes, not gigabytes.
+    """
+    return jax.tree_util.tree_map(
+        lambda *ls: jnp.tile(jnp.stack(ls), (repeats,) + (1,) * ls[0].ndim),
+        *sqps)
+
+
+def make_stagewise_step(sqp: StagewiseQP,
+                        options: SolverOptions = SolverOptions(),
+                        cold_options: Optional[SolverOptions] = None,
+                        parallel_scan: bool = False):
+    """Serving facade for the stagewise engine (the config-5 pattern).
+
+    Returns ``tick(x0, warm) -> (X, U, info, warm)`` over a batched
+    ``sqp`` (leading lane axis on every leaf; ``x0 [B, x]``).  The first
+    call (``warm=None``) runs ``cold_options`` (default: ``options`` with
+    10x the iteration budget); subsequent calls run ``options`` with the
+    carried warm tuple — measured on-chip (N=300 ZMP, docs/PERFORMANCE.md
+    config-5 table): 256 robots x 2 axes at 30 warm iterations tick in
+    412 ms = 1.61 ms/robot, inside the 5 ms sampling budget.
+    """
+    if cold_options is None:
+        cold_options = options.replace(max_iter=10 * options.max_iter)
+    batched = sqp.A.ndim == 4
+
+    def _run(opts):
+        def one(s, w=None):
+            return solve_stagewise(s, opts, warm_start=w,
+                                   parallel_scan=parallel_scan,
+                                   return_warm=True)
+        if not batched:
+            return one
+        return lambda s, w=None: (jax.vmap(one)(s) if w is None
+                                  else jax.vmap(one)(s, w))
+
+    run_cold = jax.jit(lambda s, x0: _run(cold_options)(
+        dataclasses.replace(s, x0=x0)))
+    run_warm = jax.jit(lambda s, x0, w: _run(options)(
+        dataclasses.replace(s, x0=x0), w))
+
+    def tick(x0, warm=None):
+        if warm is None:
+            return run_cold(sqp, x0)
+        return run_warm(sqp, x0, warm)
+
+    return tick

@@ -140,6 +140,33 @@ def test_stagewise_return_warm_receding():
     assert e_warm <= e_cold + 1e-12
 
 
+def test_make_stagewise_step_fleet():
+    """Serving facade: stack_stagewise fleet + cold/warm ticks reproduce
+    per-lane solve_stagewise."""
+    from copra_tpu.qp.riccati import make_stagewise_step, stack_stagewise
+
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs, cons = costs_constraints()
+    sqp = from_mpc(system, costs, cons)
+    fleet = stack_stagewise([sqp, sqp], repeats=2)   # 4 lanes
+    assert fleet.A.shape[0] == 4
+
+    opts = ct.SolverOptions(max_iter=300, early_exit=False)
+    tick = make_stagewise_step(fleet, opts)
+    rng = np.random.default_rng(3)
+    x0s = SMALL_X0[None] + rng.normal(scale=[0.01, 0.05], size=(4, 2))
+    x0b = jnp.asarray(x0s, fleet.x0.dtype)
+    X, U, info, warm = tick(x0b)                      # cold (10x budget)
+    assert (np.asarray(info.status) == ct.STATUS_SOLVED).all()
+    X, U, info, warm = tick(x0b, warm)                # warm tick
+    import dataclasses as _dc
+    ref = solve_stagewise(_dc.replace(sqp, x0=x0b[0]),
+                          ct.SolverOptions(max_iter=3000,
+                                           early_exit=False))
+    np.testing.assert_allclose(np.asarray(U[0]), np.asarray(ref[1]),
+                               atol=1e-5)
+
+
 def test_stagewise_rejects_genuinely_coupling_entries():
     system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
     mixed = ct.MixedCost.create(M, np.zeros((2, 1)), XD, weights=WX)
