@@ -410,13 +410,13 @@ def config5():
                "converged_frac": float(np.mean(np.asarray(info.status)
                                                == 0))})
 
-    # Receding-horizon point (the deployment pattern): ONE robot, duals
-    # and splits carried across ticks, few iterations per tick —
-    # consecutive x0 differ by one sample so the previous active set is
-    # almost right.
+    # Receding-horizon points (the deployment pattern): duals and splits
+    # carried across ticks, few iterations per tick — consecutive x0
+    # differ by one sample so the previous active set is almost right.
+    # Both a single robot (latency floor: the sequential LQR sweep) and
+    # the amortized fleet (the production shape — "many robots per chip").
     witers = int(os.environ.get("BENCH_WARM_ITERS", 30))
     wopts = opts.replace(max_iter=witers)
-    sqp_b = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *sq)
 
     @jax.jit
     def cold(sqp_b, x0_b):
@@ -430,46 +430,55 @@ def config5():
         return jax.vmap(lambda s, w: solve_stagewise(
             s, wopts, warm_start=w, return_warm=True))(sqp_t, warm)
 
-    rng = np.random.default_rng(6)
-    wticks = ticks + 2
-    x0_seq = [jnp.asarray(np.cumsum(rng.normal(
-        scale=0.002, size=(t + 1, 2, 3)), axis=0)[-1].astype(np.float32))
-        for t in range(wticks + 1)]
-    X, U, info, warm = cold(sqp_b, x0_seq[0])
-    X, U, info, warm = wtick(sqp_b, x0_seq[1], warm)     # compile wtick
-    jax.block_until_ready(U)
-    times = []
-    for t in range(wticks - 1):
-        t0 = time.perf_counter()
-        X, U, info, warm = wtick(sqp_b, x0_seq[2 + t], warm)
+    for robots in (1, int(os.environ.get("BENCH_ROBOTS", 256))):
+        lanes = 2 * robots
+        sqp_b = jax.tree_util.tree_map(
+            lambda *ls: jnp.tile(jnp.stack(ls), (robots,) + (1,) *
+                                 ls[0].ndim), *sq)
+        rng = np.random.default_rng(6)
+        wticks = ticks + 2
+        x0_seq = [jnp.asarray(np.cumsum(rng.normal(
+            scale=0.002, size=(t + 1, lanes, 3)), axis=0)[-1]
+            .astype(np.float32)) for t in range(wticks + 1)]
+        X, U, info, warm = cold(sqp_b, x0_seq[0])
+        X, U, info, warm = wtick(sqp_b, x0_seq[1], warm)  # compile wtick
         jax.block_until_ready(U)
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    x0_last = np.asarray(x0_seq[wticks], np.float64)
-    u_err = zmp_err = viol = 0.0
-    for lane, ax in ((0, 0), (1, 1)):
-        Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
-            system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
-            hi[ax], x0_last[lane])
-        U_l = np.asarray(U[lane], np.float64).ravel()
-        u_err = max(u_err, np.abs(U_l - Ue).max())
-        zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
-        ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
-        zmp_err = max(zmp_err, np.abs(zl - ze).max())
-        viol = max(viol, float(np.maximum(zl - hi[ax], lo[ax] - zl).max()))
-    _emit({"config": 5,
-           "metric": f"bipedal ZMP N=300 receding-horizon tick, stagewise "
-                     f"warm-started ({witers} iters/tick, 1 robot, "
-                     f"median of {len(times)})",
-           "value": round(med * 1e3, 2), "unit": "ms/tick",
-           "budget_ms": BUDGET_MS_CONFIG5,
-           "within_budget": med * 1e3 <= BUDGET_MS_CONFIG5,
-           "tick_times_ms": [round(t * 1e3, 2) for t in times],
-           "max_err_vs_exact": float(f"{u_err:.3g}"),
-           "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
-           "polygon_violation": float(f"{viol:.3g}"),
-           "iterations": witers,
-           "converged_frac": float(np.mean(np.asarray(info.status) == 0))})
+        times = []
+        for t in range(wticks - 1):
+            t0 = time.perf_counter()
+            X, U, info, warm = wtick(sqp_b, x0_seq[2 + t], warm)
+            jax.block_until_ready(U)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        x0_last = np.asarray(x0_seq[wticks], np.float64)
+        u_err = zmp_err = viol = 0.0
+        for lane, ax in ((0, 0), (1, 1)):
+            Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
+                system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
+                hi[ax], x0_last[lane])
+            U_l = np.asarray(U[lane], np.float64).ravel()
+            u_err = max(u_err, np.abs(U_l - Ue).max())
+            zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
+            ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
+            zmp_err = max(zmp_err, np.abs(zl - ze).max())
+            viol = max(viol, float(np.maximum(zl - hi[ax],
+                                              lo[ax] - zl).max()))
+        _emit({"config": 5,
+               "metric": f"bipedal ZMP N=300 receding-horizon tick, "
+                         f"stagewise warm-started ({witers} iters/tick, "
+                         f"robots={robots}, median of {len(times)})",
+               "value": round(med * 1e3, 2), "unit": "ms/tick",
+               "per_robot_ms": round(med * 1e3 / robots, 4),
+               "budget_ms": BUDGET_MS_CONFIG5,
+               "within_budget_per_robot": med * 1e3 / robots
+               <= BUDGET_MS_CONFIG5,
+               "tick_times_ms": [round(t * 1e3, 2) for t in times],
+               "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
+               "polygon_violation": float(f"{viol:.3g}"),
+               "iterations": witers,
+               "converged_frac": float(np.mean(np.asarray(info.status)
+                                               == 0))})
 
 
 CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5}
