@@ -136,6 +136,24 @@ def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,
     lax.fori_loop(jnp.int32(0), jnp.int32(sb), scenario, jnp.int32(0))
 
 
+def default_sub_batch(n: int) -> int:
+    """Largest power-of-two sub-batch whose VMEM working set fits.
+
+    Per lane the kernel pins two [n, n] operators plus ~8 [n] vectors,
+    double-buffered by the pipeline: ``2 * (2*n^2 + 8*n) * 4`` bytes.
+    Budget 13 MB of the 16 MB scoped VMEM (measured: sb=128 at n=100
+    requests 26 MB and OOMs; sb=64 fits and is the measured throughput
+    knee — 315.0k vs 290.3k solves/s at sb=32 on the headline bench,
+    same 5.97e-7 accuracy gate).  ``COPRA_FUSED_SUB_BATCH`` overrides.
+    """
+    env = int(os.environ.get("COPRA_FUSED_SUB_BATCH", "0"))
+    if env > 0:
+        return env
+    per_lane = 2 * (2 * n * n + 8 * n) * 4
+    sb = max(int(13e6) // per_lane, 1)
+    return min(1 << (sb.bit_length() - 1), 64)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
                                              "rho", "refine", "sub_batch",
                                              "interpret"))

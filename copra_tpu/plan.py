@@ -249,7 +249,7 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
     """
     import dataclasses as _dc
 
-    from .ops.admm_kernel import fused_admm_box
+    from .ops.admm_kernel import default_sub_batch, fused_admm_box
 
     f32 = jnp.float32
     f64 = jnp.float64
@@ -303,8 +303,7 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
                 Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
                 n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
                 rho=opts.rho, refine=max(opts.kkt_refine, 0),
-                sub_batch=int(os.environ.get("COPRA_FUSED_SUB_BATCH",
-                                             "32")),
+                sub_batch=default_sub_batch(n),
                 interpret=jax.default_backend() not in ("tpu", "axon"))
             wy = y
             base64 = base64 + e.astype(f64)
@@ -404,7 +403,7 @@ def make_plan_step(plan: ControlPlan,
                                    rounds=max(int(accurate_rounds), 1))
 
     if use_fused:
-        from .ops.admm_kernel import fused_admm_box
+        from .ops.admm_kernel import default_sub_batch, fused_admm_box
 
         opts = options.replace(early_exit=False)
         q_batched = plan.Q.ndim == 3
@@ -456,8 +455,7 @@ def make_plan_step(plan: ControlPlan,
                 Kb, Kfb, czero, lb, ub, we, wy, wz,
                 n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
                 rho=opts.rho, refine=refine,
-                sub_batch=int(os.environ.get("COPRA_FUSED_SUB_BATCH",
-                                             "32")),
+                sub_batch=default_sub_batch(n),
                 interpret=jax.default_backend() not in ("tpu", "axon"))
             x = x_seed + e
             z = x_seed + ze
