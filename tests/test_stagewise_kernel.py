@@ -1,0 +1,184 @@
+"""Fused stagewise tick kernel vs the XLA solve_stagewise oracle.
+
+The kernel must reproduce ``solve_stagewise`` update-for-update: same
+seeds, same iterates, same residuals/statuses.  Runs in the Pallas
+interpreter on CPU (x64), so agreement is to near machine precision.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import copra_tpu as ct
+from copra_tpu.ops.stagewise_kernel import (build_fused_plan,
+                                            lqr_solve_fixed,
+                                            precompute_lqr_gains,
+                                            solve_stagewise_fused)
+from copra_tpu.qp.riccati import (StagewiseQP, from_mpc, lqr_solve,
+                                  solve_stagewise)
+
+
+def _random_sqp(key, N=17, x=3, u=2, r=2, with_rows=True, inf_frac=0.3):
+    ks = jax.random.split(key, 12)
+    A = 0.95 * jnp.eye(x) + 0.08 * jax.random.normal(ks[0], (N, x, x))
+    B = jax.random.normal(ks[1], (N, x, u)) * 0.5
+    d = jax.random.normal(ks[2], (N, x)) * 0.01
+    Qm = jax.random.normal(ks[3], (N + 1, x, x)) * 0.3
+    Qx = jnp.einsum("kij,kil->kjl", Qm, Qm) + 0.1 * jnp.eye(x)
+    qx = jax.random.normal(ks[4], (N + 1, x)) * 0.2
+    Rm = jax.random.normal(ks[5], (N, u, u)) * 0.3
+    Ru = jnp.einsum("kij,kil->kjl", Rm, Rm) + 0.5 * jnp.eye(u)
+    ru = jax.random.normal(ks[6], (N, u)) * 0.2
+    x0 = jax.random.normal(ks[7], (x,)) * 0.3
+    xlb = jnp.full((N + 1, x), -0.8)
+    xub = jnp.full((N + 1, x), 0.8)
+    # a fraction of coordinates unbounded: exercises the rho-masked
+    # (unsplit) coordinate path
+    mask = jax.random.uniform(ks[8], (N + 1, x)) < inf_frac
+    xlb = jnp.where(mask, -jnp.inf, xlb)
+    xub = jnp.where(mask, jnp.inf, xub)
+    ulb = jnp.full((N, u), -1.5)
+    uub = jnp.full((N, u), 1.5)
+    if with_rows:
+        Cx = jax.random.normal(ks[9], (N, r, x))
+        Cu = jax.random.normal(ks[10], (N, r, u))
+        mid = jax.random.normal(ks[11], (N, r)) * 0.1
+        clo, chi = mid - 0.7, mid + 0.7
+    else:
+        Cx = Cu = clo = chi = None
+    return StagewiseQP(A=A, B=B, d=d, Qx=Qx, qx=qx, Ru=Ru, ru=ru, x0=x0,
+                       xlb=xlb, xub=xub, ulb=ulb, uub=uub,
+                       Cx=Cx, Cu=Cu, clo=clo, chi=chi)
+
+
+def _batch(sqp, B, key):
+    sqps = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a] * B), sqp)
+    x0s = sqp.x0[None] + 0.1 * jax.random.normal(key, (B, sqp.xdim))
+    return dataclasses.replace(sqps, x0=x0s)
+
+
+def test_fixed_gains_lqr_matches_full_riccati():
+    """lqr_solve_fixed(gains) == lqr_solve for the same stage Hessians,
+    including cross terms — the algebra the fused kernel relies on."""
+    key = jax.random.PRNGKey(0)
+    sqp = _random_sqp(key, N=13, x=3, u=2, with_rows=False)
+    N, x, u = sqp.horizon, sqp.xdim, sqp.udim
+    S = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N, x, u))
+    X0, U0 = lqr_solve(sqp.A, sqp.B, sqp.d, sqp.Qx, sqp.qx, sqp.Ru,
+                       sqp.ru, sqp.x0, S=S)
+    gains = precompute_lqr_gains(sqp.A, sqp.B, sqp.d, sqp.Qx, sqp.Ru, S)
+    X1, U1 = lqr_solve_fixed(gains, sqp.A, sqp.B, sqp.d, sqp.qx, sqp.ru,
+                             sqp.x0)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X0),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0),
+                               atol=1e-10)
+
+
+@pytest.mark.parametrize("with_rows", [False, True])
+def test_fused_matches_xla_cold(with_rows):
+    key = jax.random.PRNGKey(2 if with_rows else 3)
+    sqp = _random_sqp(key, with_rows=with_rows)
+    opts = ct.SolverOptions(max_iter=40, early_exit=False)
+    sqp_b = _batch(sqp, 3, jax.random.PRNGKey(7))
+    Xo, Uo, io = jax.vmap(
+        lambda s: solve_stagewise(s, opts))(sqp_b)
+    Xf, Uf, if_ = solve_stagewise_fused(sqp_b, opts, interpret=True)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Uo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(if_.primal_residual),
+                               np.asarray(io.primal_residual), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(if_.dual_residual),
+                               np.asarray(io.dual_residual), atol=1e-9)
+    assert np.array_equal(np.asarray(if_.status), np.asarray(io.status))
+
+
+@pytest.mark.parametrize("with_rows", [False, True])
+def test_fused_matches_xla_warm_tick(with_rows):
+    """Warm-started receding tick: carry the warm tuple across a solve
+    (the config-5 serving pattern) through both paths."""
+    key = jax.random.PRNGKey(4 if with_rows else 5)
+    sqp = _random_sqp(key, with_rows=with_rows)
+    opts = ct.SolverOptions(max_iter=30, early_exit=False)
+    sqp_b = _batch(sqp, 2, jax.random.PRNGKey(8))
+
+    _, _, _, warm_o = jax.vmap(
+        lambda s: solve_stagewise(s, opts, return_warm=True))(sqp_b)
+    _, _, _, warm_f = solve_stagewise_fused(sqp_b, opts, interpret=True,
+                                            return_warm=True)
+    for a, b in zip(warm_f, warm_o):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9)
+
+    # next tick from the carried state, new x0
+    x0n = sqp_b.x0 + 0.02
+    sqp_n = dataclasses.replace(sqp_b, x0=x0n)
+    Xo, Uo, io = jax.vmap(
+        lambda s, w: solve_stagewise(s, opts, warm_start=w))(
+            sqp_n, warm_o)
+    Xf, Uf, if_ = solve_stagewise_fused(sqp_n, opts, warm_start=warm_f,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Uo), atol=1e-9)
+
+
+def test_fused_zmp_class_workload():
+    """ZMP-shaped problem (x=3, u=1, r=2 trajectory rows re-expressed
+    through the dynamics) via from_mpc — the BASELINE config-5 class —
+    against both the XLA stagewise path and golden convergence."""
+    N = 40
+    T = 0.05
+    A = jnp.array([[1.0, T, T * T / 2], [0, 1.0, T], [0, 0, 1.0]])
+    B = jnp.array([[T ** 3 / 6], [T * T / 2], [T]])
+    d = jnp.zeros(3)
+    z_row = jnp.array([1.0, 0.0, -0.26])
+    system = ct.LTISystem.create(A, B, d, jnp.array([0.01, 0.0, 0.0]), N)
+    ref = 0.05 * jnp.sin(jnp.linspace(0, 2 * jnp.pi, N + 1))
+    Zfull = jax.scipy.linalg.block_diag(*([z_row[None, :]] * (N + 1)))
+    costs = (ct.TrajectoryCost(M=Zfull, p=ref,
+                               weights=jnp.ones(N + 1)),
+             ct.SimpleControlCost(p=jnp.zeros(N),
+                                  weights=jnp.full(N, 1e-6)))
+    cons = (ct.TrajectoryConstraint(E=Zfull, f=ref + 0.04),
+            ct.TrajectoryConstraint(E=-Zfull, f=-(ref - 0.04)))
+    sqp = from_mpc(system, costs, cons)
+    sqp_b = jax.tree_util.tree_map(lambda a: jnp.stack([a, a]), sqp)
+    opts = ct.SolverOptions(max_iter=300, early_exit=False)
+    Xo, Uo, io = jax.vmap(lambda s: solve_stagewise(s, opts))(sqp_b)
+    Xf, Uf, if_ = solve_stagewise_fused(sqp_b, opts, interpret=True)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Uo), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-8)
+    # dynamics replay holds for every Riccati iterate (reference replay
+    # oracle, /root/reference test contract <= 1e-10)
+    Xs, Us = np.asarray(Xf[0]), np.asarray(Uf[0])
+    for k in range(N):
+        err = Xs[k + 1] - (np.asarray(A) @ Xs[k]
+                           + np.asarray(B) @ Us[k]).ravel()
+        assert np.abs(err).max() < 1e-10
+
+
+def test_fused_single_problem_roundtrip():
+    """Unbatched StagewiseQP in == unbatched result out."""
+    sqp = _random_sqp(jax.random.PRNGKey(9), with_rows=True)
+    opts = ct.SolverOptions(max_iter=25, early_exit=False)
+    Xo, Uo, _ = solve_stagewise(sqp, opts)
+    Xf, Uf, info = solve_stagewise_fused(sqp, opts, interpret=True)
+    assert Xf.shape == Xo.shape and Uf.shape == Uo.shape
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-9)
+    assert np.asarray(info.status).shape == ()
+
+
+def test_plan_reuse_matches_fresh_build():
+    sqp = _random_sqp(jax.random.PRNGKey(11), with_rows=True)
+    sqp_b = _batch(sqp, 2, jax.random.PRNGKey(12))
+    opts = ct.SolverOptions(max_iter=20, early_exit=False)
+    plan = build_fused_plan(sqp_b, opts)
+    X1, U1, _ = solve_stagewise_fused(sqp_b, opts, interpret=True)
+    X2, U2, _ = solve_stagewise_fused(sqp_b, opts, interpret=True,
+                                      plan=plan)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=0)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), atol=0)
