@@ -480,6 +480,78 @@ def config5():
                "converged_frac": float(np.mean(np.asarray(info.status)
                                                == 0))})
 
+    # Fused Pallas tick kernel (ops/stagewise_kernel.py): the whole
+    # fixed-count iteration loop in VMEM with iteration-invariant Riccati
+    # gains.  Two honest numbers per fleet size: single-call wall latency
+    # (includes the dev tunnel's ~20 ms big-program dispatch) and the
+    # chained per-tick marginal (K back-to-back ticks, one host sync —
+    # the streaming/device-time number; on production hardware without
+    # the tunnel, dispatch is ~0.1 ms, so marginal is the deploy number).
+    from copra_tpu.qp.riccati import make_stagewise_step
+    for robots in (1, int(os.environ.get("BENCH_ROBOTS", 256))):
+        lanes = 2 * robots
+        sqp_b = jax.tree_util.tree_map(
+            lambda *ls: jnp.tile(jnp.stack(ls), (robots,) + (1,) *
+                                 ls[0].ndim), *sq)
+        tick = make_stagewise_step(sqp_b, wopts, cold_options=opts,
+                                   backend="fused")
+        rng = np.random.default_rng(7)
+        wticks = ticks + 2
+        x0_seq = [jnp.asarray(np.cumsum(rng.normal(
+            scale=0.002, size=(t + 1, lanes, 3)), axis=0)[-1]
+            .astype(np.float32)) for t in range(wticks + 10)]
+        X, U, info, warm = tick(x0_seq[0])
+        X, U, info, warm = tick(x0_seq[1], warm)       # compile warm
+        jax.block_until_ready(U)
+        times = []
+        for t in range(wticks - 1):
+            t0 = time.perf_counter()
+            X, U, info, warm = tick(x0_seq[2 + t], warm)
+            jax.block_until_ready(U)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        # chained marginal: K ticks, one sync
+        K = 8
+        t0 = time.perf_counter()
+        for t in range(K):
+            X, U, info, warm = tick(x0_seq[wticks + 1 + t], warm)
+        jax.block_until_ready(U)
+        marg = (time.perf_counter() - t0) / K
+        x0_last = np.asarray(x0_seq[wticks + K], np.float64)
+        u_err = zmp_err = viol = 0.0
+        for lane, ax in ((0, 0), (1, 1)):
+            Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
+                system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
+                hi[ax], x0_last[lane])
+            U_l = np.asarray(U[lane], np.float64).ravel()
+            u_err = max(u_err, np.abs(U_l - Ue).max())
+            zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
+            ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
+            zmp_err = max(zmp_err, np.abs(zl - ze).max())
+            viol = max(viol, float(np.maximum(zl - hi[ax],
+                                              lo[ax] - zl).max()))
+        _emit({"config": 5,
+               "metric": f"bipedal ZMP N=300 receding tick, FUSED Pallas "
+                         f"stagewise kernel ({witers} iters/tick, "
+                         f"robots={robots}, median of {len(times)})",
+               "value": round(med * 1e3, 2), "unit": "ms/tick",
+               "per_robot_ms": round(med * 1e3 / robots, 4),
+               "chained_marginal_ms_per_tick": round(marg * 1e3, 2),
+               "chained_marginal_ms_per_robot": round(marg * 1e3
+                                                      / robots, 4),
+               "budget_ms": BUDGET_MS_CONFIG5,
+               "within_budget_per_robot": med * 1e3 / robots
+               <= BUDGET_MS_CONFIG5,
+               "within_budget_chained": marg * 1e3 / max(robots, 1)
+               <= BUDGET_MS_CONFIG5,
+               "tick_times_ms": [round(t * 1e3, 2) for t in times],
+               "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
+               "polygon_violation": float(f"{viol:.3g}"),
+               "iterations": witers,
+               "converged_frac": float(np.mean(np.asarray(info.status)
+                                               == 0))})
+
 
 CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5}
 

@@ -167,15 +167,14 @@ class _Layout:
         self.d = take(x)
         self.K = take(u * x)
         self.nF = take(u * u)
-        self.G = take(u * x)
         self.seq_rows = _pad8(off)
         off = self.seq_rows
-        self.bvd = take(u)
-        self.avd = take(x)
+        # VMEM economy (the whole tick must fit on-chip):
+        # - avd/bvd are folded into qb/rb at pack time;
+        # - G is eliminated via G'kk = K'h (G = -F K, F kk = -h);
+        # - rho_x/rho_u are derived in-kernel from the clamped bounds.
         self.qb = take(x)
         self.rb = take(u)
-        self.rhox = take(x)
-        self.rhou = take(u)
         self.xlb = take(x)
         self.xub = take(x)
         self.ulb = take(u)
@@ -198,141 +197,210 @@ class _Layout:
         self.Kw = _pad8(2 * x + 2 * u)
 
 
-def _tick_kernel(n_iter: int, N: int, lo: _Layout, sigma: float,
-                 alpha: float, plan_ref, x0_ref, warm_in_ref, warm_ref,
-                 work_ref):
+def _dma_tick_kernel(n_iter: int, N: int, lo: _Layout, sigma: float,
+                     alpha: float, rho: float, plan_hbm, x0_ref,
+                     warm_hbm, warm_out_hbm, work_out_hbm):
+    """DMA wrapper: the big tensors live in HBM (``pl.ANY``); they are
+    copied into explicitly-managed VMEM scratch ONCE, the whole tick runs
+    there, and the results are copied back.  Explicit DMA keeps the
+    scoped-VMEM footprint deterministic — letting Mosaic auto-stage HBM
+    params double-buffers the 8.6 MB plan tensor and overflows VMEM
+    (observed: 30 MB requested vs the 16 MB budget)."""
+
+    # int32 semaphore indices: Python ints trace as i64 under
+    # jax_enable_x64 and Mosaic rejects them (repo-wide kernel gotcha)
+    _i0, _i1 = np.int32(0), np.int32(1)
+
+    def body(plan_v, warm_v, work_v, sems):
+        cp_p = pltpu.make_async_copy(plan_hbm, plan_v, sems.at[_i0])
+        cp_w = pltpu.make_async_copy(warm_hbm, warm_v, sems.at[_i1])
+        cp_p.start()
+        cp_w.start()
+        cp_p.wait()
+        cp_w.wait()
+        _tick_compute(n_iter, N, lo, sigma, alpha, rho, plan_v, x0_ref,
+                      warm_v, work_v)
+        cp_wo = pltpu.make_async_copy(warm_v, warm_out_hbm, sems.at[_i0])
+        cp_ko = pltpu.make_async_copy(work_v, work_out_hbm, sems.at[_i1])
+        cp_wo.start()
+        cp_ko.start()
+        cp_wo.wait()
+        cp_ko.wait()
+
+    pl.run_scoped(
+        body,
+        plan_v=pltpu.VMEM(plan_hbm.shape, plan_hbm.dtype),
+        warm_v=pltpu.VMEM(warm_hbm.shape, warm_hbm.dtype),
+        work_v=pltpu.VMEM((N + 1, lo.Kw, plan_hbm.shape[-1]),
+                          warm_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _tick_compute(n_iter: int, N: int, lo: _Layout, sigma: float,
+                  alpha: float, rho: float, plan_ref, x0_ref,
+                  warm_ref, work_ref):
     """All ``n_iter`` ADMM iterations for one lane sub-batch, in VMEM.
 
-    ``warm_ref`` aliases ``warm_in_ref`` (same buffer); ``work_ref``
-    carries (X, U, shifted linear costs).  Bulk updates are full-array
-    VPU ops over all stages at once; the two sweeps are lane-vectorized
-    scalar recursions (the only sequential code on the chip).
+    ``work_ref`` carries (X, U, shifted linear costs).  Bulk updates are
+    full-array VPU ops over all stages at once; the two sweeps are
+    lane-vectorized scalar recursions (the only sequential code on the
+    chip).
     """
     x, u, r = lo.x, lo.u, lo.r
-    oma = 1.0 - alpha
-    tiny = 1e-30
-
-    # bulk views of the iteration-invariant plan rows
-    qb = plan_ref[:, lo.qb:lo.qb + x, :]             # [N+1, x, sb]
-    rhox = plan_ref[:, lo.rhox:lo.rhox + x, :]
-    xlb = plan_ref[:, lo.xlb:lo.xlb + x, :]
-    xub = plan_ref[:, lo.xub:lo.xub + x, :]
-    rb = plan_ref[:N, lo.rb:lo.rb + u, :]            # [N, u, sb]
-    rhou = plan_ref[:N, lo.rhou:lo.rhou + u, :]
-    ulb = plan_ref[:N, lo.ulb:lo.ulb + u, :]
-    uub = plan_ref[:N, lo.uub:lo.uub + u, :]
-    avd = plan_ref[:N, lo.avd:lo.avd + x, :]
-    bvd = plan_ref[:N, lo.bvd:lo.bvd + u, :]
-    if r:
-        Cxb = plan_ref[:N, lo.Cx:lo.Cx + r * x, :]   # [N, r*x, sb]
-        Cub = plan_ref[:N, lo.Cu:lo.Cu + r * u, :]
-        slo = plan_ref[:N, lo.slo:lo.slo + r, :]
-        shi = plan_ref[:N, lo.shi:lo.shi + r, :]
-        rhos = plan_ref[:N, lo.rhos:lo.rhos + r, :]
+    dt = plan_ref.dtype
+    big_test = float(jnp.finfo(dt).max) / 8.0
+    # dtype-pinned scalars: under jax_enable_x64 a bare Python float in
+    # jnp.where/arithmetic promotes to an f64 vector, which Mosaic's
+    # 32-bit-only vector layout rejects (SIGABRT in VectorLayoutInferer)
+    rho = jnp.asarray(rho, dt)
+    sigma = jnp.asarray(sigma, dt)
+    alpha = jnp.asarray(alpha, dt)
+    oma = jnp.asarray(1.0, dt) - alpha
+    tiny = jnp.asarray(1e-30, dt)
+    zero = jnp.asarray(0.0, dt)
 
     # proximal center (wX, wU) starts at (zX0, zU0), as in the XLA path
     work_ref[:, lo.X:lo.X + x, :] = warm_ref[:, lo.zX:lo.zX + x, :]
     work_ref[:N, lo.U:lo.U + u, :] = warm_ref[:N, lo.zU:lo.zU + u, :]
 
     def iteration(_, carry):
-        zX = warm_ref[:, lo.zX:lo.zX + x, :]
-        yX = warm_ref[:, lo.yX:lo.yX + x, :]
-        zU = warm_ref[:N, lo.zU:lo.zU + u, :]
-        yU = warm_ref[:N, lo.yU:lo.yU + u, :]
-        wX = work_ref[:, lo.X:lo.X + x, :]
-        wU = work_ref[:N, lo.U:lo.U + u, :]
+        # Bulk updates run PER COMPONENT with immediate ref writes: the
+        # live value set stays ~1 MB.  Whole-[N,x,sb] formulations leave
+        # Mosaic stack-allocating ~15 MB of bulk temporaries inside the
+        # loop body (measured: scoped-VMEM OOM at 27.7 MB).
+        rho_of = lambda lb, ub: jnp.where(
+            (lb > -big_test) | (ub < big_test), rho, zero)
+        pcol = lambda o: plan_ref[:, o:o + 1, :]          # [N+1, 1, sb]
+        pcoln = lambda o: plan_ref[:N, o:o + 1, :]        # [N,   1, sb]
+        wmcol = lambda o: warm_ref[:, o:o + 1, :]
+        wmcoln = lambda o: warm_ref[:N, o:o + 1, :]
+        wkcol = lambda o: work_ref[:, o:o + 1, :]
+        wkcoln = lambda o: work_ref[:N, o:o + 1, :]
 
         # ---- bulk: shifted linear costs (parallel over stages) ----
-        qs = qb - (rhox * zX - yX) - sigma * wX
-        qs = qs.at[:N].add(avd)
-        rs = rb - (rhou * zU - yU) - sigma * wU + bvd
-        if r:
-            zS = warm_ref[:N, lo.zS:lo.zS + r, :]
-            yS = warm_ref[:N, lo.yS:lo.yS + r, :]
-            vS = rhos * zS - yS                      # [N, r, sb]
-            for j in range(r):
-                vSj = vS[:, j:j + 1, :]
-                qs = qs.at[:N].add(
-                    -Cxb[:, j * x:(j + 1) * x, :] * vSj)
-                rs = rs - Cub[:, j * u:(j + 1) * u, :] * vSj
-        work_ref[:, lo.qs:lo.qs + x, :] = qs
-        work_ref[:N, lo.h:lo.h + u, :] = rs
+        # qb/rb already carry the constant drift terms avd/bvd
+        for i in range(x):
+            rhox_i = rho_of(pcol(lo.xlb + i), pcol(lo.xub + i))
+            work_ref[:, lo.qs + i:lo.qs + i + 1, :] = (
+                pcol(lo.qb + i)
+                - (rhox_i * wmcol(lo.zX + i) - wmcol(lo.yX + i))
+                - sigma * wkcol(lo.X + i))
+        for a in range(u):
+            rhou_a = rho_of(pcoln(lo.ulb + a), pcoln(lo.uub + a))
+            work_ref[:N, lo.h + a:lo.h + a + 1, :] = (
+                pcoln(lo.rb + a)
+                - (rhou_a * wmcoln(lo.zU + a) - wmcoln(lo.yU + a))
+                - sigma * wkcoln(lo.U + a))
+        for j in range(r):
+            vS_j = (pcoln(lo.rhos + j) * wmcoln(lo.zS + j)
+                    - wmcoln(lo.yS + j))
+            for i in range(x):
+                work_ref[:N, lo.qs + i:lo.qs + i + 1, :] = (
+                    wkcoln(lo.qs + i) - pcoln(lo.Cx + j * x + i) * vS_j)
+            for a in range(u):
+                work_ref[:N, lo.h + a:lo.h + a + 1, :] = (
+                    wkcoln(lo.h + a) - pcoln(lo.Cu + j * u + a) * vS_j)
 
         # ---- backward linear sweep: v_k, kk_k (sequential) ----
-        v0 = tuple(work_ref[N, lo.qs + i, :] for i in range(x))
+        # components stay rank-2 (1, sb): Mosaic's layout inference
+        # rejects rank-1 vector values
+        row = lambda t, i: t[i:i + 1, :]
+        v0 = tuple(work_ref[N, lo.qs + i:lo.qs + i + 1, :]
+                   for i in range(x))
 
         def bwd(i, v):
             k = N - 1 - i
             ck = plan_ref[k, 0:lo.seq_rows, :]       # [seq_rows, sb]
             wk = work_ref[k, 0:lo.Kw, :]
-            h = [wk[lo.h + a]
-                 + sum(ck[lo.B + i2 * u + a] * v[i2] for i2 in range(x))
+            h = [row(wk, lo.h + a)
+                 + sum(row(ck, lo.B + i2 * u + a) * v[i2]
+                       for i2 in range(x))
                  for a in range(u)]
-            kk = [sum(ck[lo.nF + a * u + b] * h[b] for b in range(u))
+            kk = [sum(row(ck, lo.nF + a * u + b) * h[b]
+                      for b in range(u))
                   for a in range(u)]
             for a in range(u):
-                work_ref[k, lo.h + a, :] = kk[a]
+                work_ref[k, lo.h + a:lo.h + a + 1, :] = kk[a]
+            # G'kk == K'h (G = -F K and F kk = -h): saves storing G
             v_n = tuple(
-                wk[lo.qs + i2]
-                + sum(ck[lo.A + j * x + i2] * v[j] for j in range(x))
-                + sum(ck[lo.G + a * x + i2] * kk[a] for a in range(u))
+                row(wk, lo.qs + i2)
+                + sum(row(ck, lo.A + j * x + i2) * v[j]
+                      for j in range(x))
+                + sum(row(ck, lo.K + a * x + i2) * h[a]
+                      for a in range(u))
                 for i2 in range(x))
             return v_n
 
-        lax.fori_loop(0, N, bwd, v0)
+        lax.fori_loop(jnp.int32(0), jnp.int32(N), bwd, v0)
 
         # ---- forward rollout: X, U (sequential) ----
-        xs0 = tuple(x0_ref[i, :] for i in range(x))
+        xs0 = tuple(x0_ref[i:i + 1, :] for i in range(x))
         for i in range(x):
-            work_ref[0, lo.X + i, :] = xs0[i]
+            work_ref[0, lo.X + i:lo.X + i + 1, :] = xs0[i]
 
         def fwd(k, xs):
             ck = plan_ref[k, 0:lo.seq_rows, :]
-            uk = [work_ref[k, lo.h + a, :]
-                  + sum(ck[lo.K + a * x + i2] * xs[i2] for i2 in range(x))
+            uk = [work_ref[k, lo.h + a:lo.h + a + 1, :]
+                  + sum(row(ck, lo.K + a * x + i2) * xs[i2]
+                        for i2 in range(x))
                   for a in range(u)]
             for a in range(u):
-                work_ref[k, lo.U + a, :] = uk[a]
+                work_ref[k, lo.U + a:lo.U + a + 1, :] = uk[a]
             x_n = tuple(
-                ck[lo.d + i2]
-                + sum(ck[lo.A + i2 * x + j] * xs[j] for j in range(x))
-                + sum(ck[lo.B + i2 * u + a] * uk[a] for a in range(u))
+                row(ck, lo.d + i2)
+                + sum(row(ck, lo.A + i2 * x + j) * xs[j]
+                      for j in range(x))
+                + sum(row(ck, lo.B + i2 * u + a) * uk[a]
+                      for a in range(u))
                 for i2 in range(x))
             for i2 in range(x):
-                work_ref[k + 1, lo.X + i2, :] = x_n[i2]
+                work_ref[k + 1, lo.X + i2:lo.X + i2 + 1, :] = x_n[i2]
             return x_n
 
-        lax.fori_loop(0, N, fwd, xs0)
+        lax.fori_loop(jnp.int32(0), jnp.int32(N), fwd, xs0)
 
         # ---- bulk: relaxation + projections + dual ascent ----
-        X = work_ref[:, lo.X:lo.X + x, :]
-        U = work_ref[:N, lo.U:lo.U + u, :]
-        Xr = alpha * X + oma * zX
-        Ur = alpha * U + oma * zU
-        zXn = jnp.where(rhox > 0,
-                        jnp.clip(Xr + yX / jnp.maximum(rhox, tiny),
-                                 xlb, xub), Xr)
-        zXn = zXn.at[0].set(X[0])                    # x_0 is data
-        zUn = jnp.where(rhou > 0,
-                        jnp.clip(Ur + yU / jnp.maximum(rhou, tiny),
-                                 ulb, uub), Ur)
-        warm_ref[:, lo.zX:lo.zX + x, :] = zXn
-        warm_ref[:, lo.yX:lo.yX + x, :] = yX + rhox * (Xr - zXn)
-        warm_ref[:N, lo.zU:lo.zU + u, :] = zUn
-        warm_ref[:N, lo.yU:lo.yU + u, :] = yU + rhou * (Ur - zUn)
-        if r:
-            rows = []
-            for j in range(r):
-                sj = sum(Cxb[:, j * x + i2:j * x + i2 + 1, :]
-                         * X[:N, i2:i2 + 1, :] for i2 in range(x))
-                sj = sj + sum(Cub[:, j * u + a:j * u + a + 1, :]
-                              * U[:, a:a + 1, :] for a in range(u))
-                rows.append(sj)
-            s = jnp.concatenate(rows, axis=1)        # [N, r, sb]
-            sr = alpha * s + oma * zS
-            zSn = jnp.clip(sr + yS / rhos, slo, shi)
-            warm_ref[:N, lo.zS:lo.zS + r, :] = zSn
-            warm_ref[:N, lo.yS:lo.yS + r, :] = yS + rhos * (sr - zSn)
+        for i in range(x):
+            lb, ub = pcol(lo.xlb + i), pcol(lo.xub + i)
+            rhox_i = rho_of(lb, ub)
+            Xr = alpha * wkcol(lo.X + i) + oma * wmcol(lo.zX + i)
+            yX_i = wmcol(lo.yX + i)
+            zXn = jnp.where(
+                rhox_i > 0,
+                jnp.clip(Xr + yX_i / jnp.maximum(rhox_i, tiny), lb, ub),
+                Xr)
+            warm_ref[:, lo.zX + i:lo.zX + i + 1, :] = zXn
+            # x_0 is data, not a variable — pin its copy to X[0]
+            warm_ref[0, lo.zX + i:lo.zX + i + 1, :] = \
+                work_ref[0, lo.X + i:lo.X + i + 1, :]
+            warm_ref[:, lo.yX + i:lo.yX + i + 1, :] = (
+                yX_i + rhox_i * (Xr - wmcol(lo.zX + i)))
+        for a in range(u):
+            lb, ub = pcoln(lo.ulb + a), pcoln(lo.uub + a)
+            rhou_a = rho_of(lb, ub)
+            Ur = alpha * wkcoln(lo.U + a) + oma * wmcoln(lo.zU + a)
+            yU_a = wmcoln(lo.yU + a)
+            zUn = jnp.where(
+                rhou_a > 0,
+                jnp.clip(Ur + yU_a / jnp.maximum(rhou_a, tiny), lb, ub),
+                Ur)
+            warm_ref[:N, lo.zU + a:lo.zU + a + 1, :] = zUn
+            warm_ref[:N, lo.yU + a:lo.yU + a + 1, :] = (
+                yU_a + rhou_a * (Ur - zUn))
+        for j in range(r):
+            s_j = sum(pcoln(lo.Cx + j * x + i2) * wkcoln(lo.X + i2)
+                      for i2 in range(x))
+            s_j = s_j + sum(pcoln(lo.Cu + j * u + a) * wkcoln(lo.U + a)
+                            for a in range(u))
+            sr = alpha * s_j + oma * wmcoln(lo.zS + j)
+            yS_j = wmcoln(lo.yS + j)
+            rhos_j = pcoln(lo.rhos + j)
+            zSn = jnp.clip(sr + yS_j / rhos_j,
+                           pcoln(lo.slo + j), pcoln(lo.shi + j))
+            warm_ref[:N, lo.zS + j:lo.zS + j + 1, :] = zSn
+            warm_ref[:N, lo.yS + j:lo.yS + j + 1, :] = (
+                yS_j + rhos_j * (sr - zSn))
         return carry
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), iteration,
@@ -340,10 +408,11 @@ def _tick_kernel(n_iter: int, N: int, lo: _Layout, sigma: float,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "N", "x", "u", "r",
-                                             "sigma", "alpha", "interpret"))
+                                             "sigma", "alpha", "rho",
+                                             "interpret"))
 def fused_stagewise_tick(plan: Array, x0: Array, warm: Array, *,
                          n_iter: int, N: int, x: int, u: int, r: int,
-                         sigma: float, alpha: float,
+                         sigma: float, alpha: float, rho: float,
                          interpret: bool = False
                          ) -> Tuple[Array, Array]:
     """Run ``n_iter`` stagewise-ADMM iterations fully on-chip.
@@ -358,20 +427,22 @@ def fused_stagewise_tick(plan: Array, x0: Array, warm: Array, *,
     """
     lo = _Layout(x, u, r)
     B = plan.shape[-1]
-    kern = functools.partial(_tick_kernel, n_iter, N, lo, float(sigma),
-                             float(alpha))
+    kern = functools.partial(_dma_tick_kernel, n_iter, N, lo,
+                             float(sigma), float(alpha), float(rho))
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # force HBM: pl.ANY lets Mosaic choose, and it chooses VMEM — which
+    # re-stages every operand on top of our scratch and overflows
+    aspec = pl.BlockSpec(memory_space=pltpu.HBM)
 
     def one_chunk(args):
         p, x0c, w = args
         return pl.pallas_call(
             kern,
-            in_specs=[vspec] * 3,
-            out_specs=(vspec, vspec),
+            in_specs=[aspec, vspec, aspec],
+            out_specs=(aspec, aspec),
             out_shape=(jax.ShapeDtypeStruct(w.shape, w.dtype),
                        jax.ShapeDtypeStruct((N + 1, lo.Kw, LANES),
                                             w.dtype)),
-            input_output_aliases={2: 0},
             interpret=interpret,
         )(p, x0c, w)
 
@@ -447,10 +518,15 @@ def build_fused_plan(sqp, options) -> FusedStagewisePlan:
     rho = jnp.asarray(options.rho, dt)
     sigma = jnp.asarray(options.sigma, dt)
 
-    rho_x = jnp.where(jnp.isfinite(sqp.xlb) | jnp.isfinite(sqp.xub),
-                      rho, jnp.zeros((), dt))          # [B, N+1, x]
-    rho_u = jnp.where(jnp.isfinite(sqp.ulb) | jnp.isfinite(sqp.uub),
-                      rho, jnp.zeros((), dt))          # [B, N, u]
+    # same finiteness test the kernel derives from the CLAMPED bounds
+    # (bounds beyond finfo.max/8 count as infinite) so the gains' rho
+    # ridge and the in-kernel z-step always agree
+    big_test = float(jnp.finfo(dt).max) / 8
+    fin = lambda lb, ub: ((lb > -big_test) | (ub < big_test))
+    rho_x = jnp.where(fin(sqp.xlb, sqp.xub), rho,
+                      jnp.zeros((), dt))               # [B, N+1, x]
+    rho_u = jnp.where(fin(sqp.ulb, sqp.uub), rho,
+                      jnp.zeros((), dt))               # [B, N, u]
 
     eyex = jnp.eye(x, dtype=dt)
     eyeu = jnp.eye(u, dtype=dt)
@@ -504,13 +580,10 @@ def build_fused_plan(sqp, options) -> FusedStagewisePlan:
     put(lo.d, stage_pad(sqp.d, x))
     put(lo.K, stage_pad(gains.K, u * x))
     put(lo.nF, stage_pad(gains.nF, u * u))
-    put(lo.G, stage_pad(gains.G, u * x))
-    put(lo.bvd, stage_pad(gains.bvd, u))
-    put(lo.avd, stage_pad(gains.avd, x))
-    put(lo.qb, sqp.qx)
-    put(lo.rb, stage_pad(sqp.ru, u))
-    put(lo.rhox, rho_x)
-    put(lo.rhou, stage_pad(rho_u, u))
+    # the constant drift terms fold into the base linear costs (the
+    # kernel's per-iteration shifts are purely additive on top of them)
+    put(lo.qb, sqp.qx.at[:, :-1].add(gains.avd))
+    put(lo.rb, stage_pad(sqp.ru + gains.bvd, u))
     # clamp infinite bounds to huge finites: the kernel clips with them
     # and inf * 0 in unrelated vector lanes must not mint NaNs
     put(lo.xlb, jnp.maximum(sqp.xlb, big_neg))
@@ -629,7 +702,7 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
     warm1, work = fused_stagewise_tick(
         fp.plan, x0, warm0, n_iter=options.max_iter, N=N, x=x, u=u, r=r,
         sigma=float(options.sigma), alpha=float(options.alpha),
-        interpret=bool(interpret))
+        rho=float(options.rho), interpret=bool(interpret))
 
     take = lambda a, o, c: jnp.transpose(a[:, o:o + c, :B0], (2, 0, 1))
     X = take(work, lo.X, x)                      # [B, N+1, x]

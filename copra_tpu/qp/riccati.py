@@ -787,20 +787,70 @@ def stack_stagewise(sqps: Sequence[StagewiseQP],
 def make_stagewise_step(sqp: StagewiseQP,
                         options: SolverOptions = SolverOptions(),
                         cold_options: Optional[SolverOptions] = None,
-                        parallel_scan: bool = False):
+                        parallel_scan: bool = False,
+                        backend: str = "auto"):
     """Serving facade for the stagewise engine (the config-5 pattern).
 
     Returns ``tick(x0, warm) -> (X, U, info, warm)`` over a batched
     ``sqp`` (leading lane axis on every leaf; ``x0 [B, x]``).  The first
     call (``warm=None``) runs ``cold_options`` (default: ``options`` with
     10x the iteration budget); subsequent calls run ``options`` with the
-    carried warm tuple — measured on-chip (N=300 ZMP, docs/PERFORMANCE.md
-    config-5 table): 256 robots x 2 axes at 30 warm iterations tick in
-    412 ms = 1.61 ms/robot, inside the 5 ms sampling budget.
+    carried warm tuple.
+
+    ``backend``: ``"fused"`` runs ticks through the fused Pallas kernel
+    (``ops.stagewise_kernel`` — the whole fixed-count iteration loop in
+    VMEM with iteration-invariant Riccati gains; same update order as the
+    XLA path, oracle-tested), ``"xla"`` the scan-based path, ``"auto"``
+    (default) fused on TPU and XLA elsewhere.  Measured on-chip (N=300
+    ZMP, 2 axes/robot, 30 warm iterations, docs/PERFORMANCE.md): fused
+    tick device-time ~3.7 ms for up to 64 robots (inside the 5 ms
+    sampling budget even for a single robot; the XLA path is 56 ms), and
+    a 512-lane fleet ticks in ~28 ms wall through the dev tunnel
+    (0.11 ms/robot) vs 412 ms for the XLA path.
     """
     if cold_options is None:
         cold_options = options.replace(max_iter=10 * options.max_iter)
     batched = sqp.A.ndim == 4
+    if backend == "auto":
+        backend = ("fused" if jax.default_backend() in ("tpu", "axon")
+                   and not parallel_scan else "xla")
+
+    if backend == "fused":
+        from ..ops.stagewise_kernel import (build_fused_plan,
+                                            solve_stagewise_fused)
+        sqp_b = (sqp if batched
+                 else jax.tree_util.tree_map(lambda a: a[None], sqp))
+        plan_w = build_fused_plan(sqp_b, options)
+        same_plan = all(
+            getattr(options, f) == getattr(cold_options, f)
+            for f in ("rho", "sigma", "rho_eq_scale", "seed"))
+        plan_c = plan_w if same_plan \
+            else build_fused_plan(sqp_b, cold_options)
+
+        def run_fused(opts, plan):
+            def go(s, x0, w):
+                s = dataclasses.replace(s, x0=x0)
+                return solve_stagewise_fused(
+                    s, opts, warm_start=w, return_warm=True,
+                    plan=dataclasses.replace(plan, sqp=s))
+            return go
+
+        run_cold = jax.jit(lambda s, x0: run_fused(cold_options, plan_c)(
+            s, x0, None))
+        run_warm = jax.jit(lambda s, x0, w: run_fused(options, plan_w)(
+            s, x0, w))
+
+        def tick(x0, warm=None):
+            if not batched:
+                x0 = x0[None]
+            out = (run_cold(sqp_b, x0) if warm is None
+                   else run_warm(sqp_b, x0, warm))
+            if not batched:
+                out = jax.tree_util.tree_map(lambda a: a[0], out[:3]) \
+                    + (out[3],)
+            return out
+
+        return tick
 
     def _run(opts):
         def one(s, w=None):

@@ -182,3 +182,26 @@ def test_plan_reuse_matches_fresh_build():
                                       plan=plan)
     np.testing.assert_allclose(np.asarray(X1), np.asarray(X2), atol=0)
     np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), atol=0)
+
+
+def test_make_stagewise_step_fused_backend_matches_xla():
+    """The serving facade's fused backend reproduces the XLA backend
+    across a cold + two warm receding ticks."""
+    from copra_tpu.qp.riccati import make_stagewise_step
+    sqp = _random_sqp(jax.random.PRNGKey(21), N=12, with_rows=True)
+    sqp_b = _batch(sqp, 2, jax.random.PRNGKey(22))
+    opts = ct.SolverOptions(max_iter=20, early_exit=False)
+    tick_x = make_stagewise_step(sqp_b, opts, backend="xla")
+    tick_f = make_stagewise_step(sqp_b, opts, backend="fused")
+    x0s = [sqp_b.x0 + 0.01 * k for k in range(3)]
+    Xx, Ux, ix, wx = tick_x(x0s[0])
+    Xf, Uf, if_, wf = tick_f(x0s[0])
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Ux), atol=1e-9)
+    for k in (1, 2):
+        Xx, Ux, ix, wx = tick_x(x0s[k], wx)
+        Xf, Uf, if_, wf = tick_f(x0s[k], wf)
+        np.testing.assert_allclose(np.asarray(Uf), np.asarray(Ux),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xx),
+                                   atol=1e-9)
+    assert np.array_equal(np.asarray(if_.status), np.asarray(ix.status))
