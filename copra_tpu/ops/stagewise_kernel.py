@@ -332,6 +332,11 @@ def _tick_compute(n_iter: int, N: int, lo: _Layout, sigma: float,
                 for i2 in range(x))
             return v_n
 
+        # rolled loops with TRACED int32 bounds: full unroll A/B'd
+        # on-chip at no win (2.73 vs 2.70 ms/tick — the dependent chain
+        # is latency-bound, not loop-overhead-bound), and static bounds
+        # lower to a scan whose induction var is i64 under
+        # jax_enable_x64, which Mosaic rejects
         lax.fori_loop(jnp.int32(0), jnp.int32(N), bwd, v0)
 
         # ---- forward rollout: X, U (sequential) ----
@@ -644,6 +649,12 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    # tracing the kernel nested under jit(facade)->vmap adds several
+    # hundred Python frames; the default 1000-frame recursion limit
+    # trips mid-trace (observed in bench_all config 5)
+    import sys
+    if sys.getrecursionlimit() < 3000:
+        sys.setrecursionlimit(3000)
     single = sqp.A.ndim == 3
     if single:
         sqp = jax.tree_util.tree_map(lambda a: a[None], sqp)
@@ -721,12 +732,15 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
         s_gap = (row_eval(X, U) - zS) / fp.Es
         r_prim = jnp.maximum(r_prim, jnp.max(jnp.abs(s_gap), axis=(1, 2)))
         yS_orig = yS * fp.Es
-        r_dual = jax.vmap(stagewise_dual_residual)(sqp, X, U, yX, yU,
-                                                   yS_orig)
+        r_dual = jax.vmap(
+            lambda s, a, b, c, dd, e: stagewise_dual_residual(
+                s, a, b, c, dd, e, parallel=True)
+        )(sqp, X, U, yX, yU, yS_orig)
     else:
         yS_orig = yS
         r_dual = jax.vmap(
-            lambda s, a, b, c, dd: stagewise_dual_residual(s, a, b, c, dd)
+            lambda s, a, b, c, dd: stagewise_dual_residual(
+                s, a, b, c, dd, parallel=True)
         )(sqp, X, U, yX, yU)
     eps_floor = 25.0 * float(jnp.finfo(dt).eps)
     eps = max(options.eps_abs, eps_floor) * 10

@@ -713,7 +713,8 @@ def _dual_scale(sqp: StagewiseQP) -> Array:
 @highest_precision
 def stagewise_dual_residual(sqp: StagewiseQP, X: Array, U: Array,
                             yX: Array, yU: Array,
-                            yS: Optional[Array] = None) -> Array:
+                            yS: Optional[Array] = None,
+                            parallel: bool = False) -> Array:
     """True dual (stationarity) residual of the stagewise KKT system.
 
     The dynamics multipliers ``lam`` are eliminated exactly by the adjoint
@@ -739,6 +740,36 @@ def stagewise_dual_residual(sqp: StagewiseQP, X: Array, U: Array,
         gx = jnp.einsum("krx,kr->kx", sqp.Cx, yS)
         gu = jnp.einsum("kru,kr->ku", sqp.Cu, yS)
     lam_N = jnp.einsum("xy,y->x", sqp.Qx[-1], X[-1]) + sqp.qx[-1] + yX[-1]
+
+    if parallel:
+        # Log-depth adjoint: lam_k = A_k' lam_{k+1} + g_k is an AFFINE
+        # reverse recursion, so the lam stack is a suffix composition of
+        # affine maps — one reverse lax.associative_scan (O(log N)
+        # depth) instead of an N-step lax.scan.  This keeps the honest
+        # per-tick status pass off the serving path's critical latency
+        # (the fused kernel tick is ~3.7 ms; a 300-step XLA scan adds
+        # ~1.5 ms).  Verified equal to the serial form in
+        # tests/test_stagewise_kernel.py.
+        g = (jnp.einsum("kxy,ky->kx", sqp.Qx[1:-1], X[1:-1])
+             + sqp.qx[1:-1] + yX[1:-1] + gx[1:])       # stages 1..N-1
+        xdim = sqp.xdim
+        M = jnp.concatenate(
+            [jnp.swapaxes(sqp.A[1:], -1, -2),
+             jnp.zeros((1, xdim, xdim), sqp.A.dtype)], axis=0)
+        c = jnp.concatenate([g, lam_N[None]], axis=0)  # elements 1..N
+
+        def combine(earlier, later):
+            Me, ce = earlier
+            Ml, cl = later
+            return (Me @ Ml, jnp.einsum("...xy,...y->...x", Me, cl) + ce)
+
+        # reverse scan feeds (later-suffix, earlier); swap to compose
+        _, lam = lax.associative_scan(lambda a, b: combine(b, a), (M, c),
+                                      axis=0, reverse=True)
+        # lam[k-1] = lam_k for k = 1..N
+        r_u = (jnp.einsum("kuv,kv->ku", sqp.Ru, U) + sqp.ru
+               + jnp.einsum("kxu,kx->ku", sqp.B, lam) + yU + gu)
+        return jnp.max(jnp.abs(r_u))
 
     def backward(lam_next, inp):
         A_k, B_k, Q_k, q_k, R_k, r_k, x_k, u_k, yX_k, yU_k, gx_k, gu_k = inp

@@ -205,3 +205,23 @@ def test_make_stagewise_step_fused_backend_matches_xla():
         np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xx),
                                    atol=1e-9)
     assert np.array_equal(np.asarray(if_.status), np.asarray(ix.status))
+
+
+def test_dual_residual_parallel_matches_serial():
+    """Log-depth (associative-scan) adjoint == serial scan adjoint."""
+    from copra_tpu.qp.riccati import stagewise_dual_residual
+    sqp = _random_sqp(jax.random.PRNGKey(31), N=19, with_rows=True)
+    key = jax.random.PRNGKey(32)
+    N, x, u, r = sqp.horizon, sqp.xdim, sqp.udim, sqp.nr_rows
+    ks = jax.random.split(key, 5)
+    X = jax.random.normal(ks[0], (N + 1, x))
+    U = jax.random.normal(ks[1], (N, u))
+    yX = jax.random.normal(ks[2], (N + 1, x))
+    yU = jax.random.normal(ks[3], (N, u))
+    yS = jax.random.normal(ks[4], (N, r))
+    r0 = stagewise_dual_residual(sqp, X, U, yX, yU, yS)
+    r1 = stagewise_dual_residual(sqp, X, U, yX, yU, yS, parallel=True)
+    np.testing.assert_allclose(float(r1), float(r0), rtol=1e-12)
+    r0b = stagewise_dual_residual(sqp, X, U, yX, yU)
+    r1b = stagewise_dual_residual(sqp, X, U, yX, yU, parallel=True)
+    np.testing.assert_allclose(float(r1b), float(r0b), rtol=1e-12)
