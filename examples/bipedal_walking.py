@@ -83,22 +83,87 @@ def solve_preview(horizon: int = 300, T: float = 0.005,
     base = ct.LTISystem(A=jnp.asarray(A), B=jnp.asarray(B),
                         d=jnp.asarray(d), x0=jnp.zeros(3), horizon=horizon)
 
-    def solve_axis(x0, ref_ax, lo_ax, hi_ax):
-        costs = (ct.TrajectoryCost(M=jnp.asarray(Zfull), p=ref_ax,
+    # the stagewise engine is the documented config-5 path: O(N) per
+    # iteration with per-stage polygon rows (the condensed dense-row
+    # path stalls on this workload in f32 — docs/PERFORMANCE.md)
+    def axis_sqp(ref_ax, lo_ax, hi_ax):
+        costs = (ct.TrajectoryCost(M=jnp.asarray(Zfull),
+                                   p=jnp.asarray(ref_ax),
                                    weights=jnp.asarray(zmp_w)),
                  ct.SimpleControlCost(p=jnp.zeros(horizon),
                                       weights=jnp.asarray(jerk_w)))
         constraints = (
-            ct.TrajectoryConstraint(E=jnp.asarray(Zfull), f=hi_ax),
-            ct.TrajectoryConstraint(E=jnp.asarray(-Zfull), f=-lo_ax))
-        res = ct.solve_mpc(base.with_x0(x0), costs, constraints, options)
-        return res.trajectory, res.control, res.solution
+            ct.TrajectoryConstraint(E=jnp.asarray(Zfull),
+                                    f=jnp.asarray(hi_ax)),
+            ct.TrajectoryConstraint(E=-jnp.asarray(Zfull),
+                                    f=jnp.asarray(-lo_ax)))
+        from copra_tpu.qp.riccati import from_mpc
+        return from_mpc(base, costs, constraints)
 
-    X, U, sol = jax.vmap(solve_axis)(
-        jnp.zeros((2, 3)), jnp.asarray(ref), jnp.asarray(lo),
-        jnp.asarray(hi))
-    zmp = jnp.einsum("rS,aS->ar", jnp.asarray(Zfull), X)
-    return X, U, zmp, (ref, lo, hi), sol
+    sqp_b = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls),
+        axis_sqp(ref[0], lo[0], hi[0]), axis_sqp(ref[1], lo[1], hi[1]))
+    X, U, sol = jax.jit(jax.vmap(
+        lambda s: ct.solve_stagewise(s, options)))(sqp_b)
+    X = X.reshape(2, -1)
+    U = U.reshape(2, -1)
+    # diagnostic on the HOST in f64: an on-device f32 einsum outside the
+    # library's precision guard runs bf16 MXU passes and reports a
+    # phantom ~4e-5 polygon violation (docs/PERFORMANCE.md lesson #1)
+    zmp = np.asarray(Zfull, np.float64) @ np.asarray(X, np.float64).T
+    return X, U, zmp.T, (ref, lo, hi), sol
+
+
+def serve_fleet(robots: int = 4, horizon: int = 300, T: float = 0.005,
+                com_height: float = 0.8, ticks: int = 3):
+    """The production serving pattern: a fleet of robots, receding
+    horizon, warm-started stagewise ticks.
+
+    Uses ``make_stagewise_step`` — on TPU this runs the fused Pallas
+    tick kernel (iteration-invariant Riccati gains, the whole
+    fixed-count ADMM loop in VMEM): a 256-robot fleet ticks at
+    ~0.04 ms/robot and a single robot inside the 5 ms sampling budget
+    (docs/PERFORMANCE.md, config-5 table).
+    """
+    from copra_tpu.qp.riccati import from_mpc, make_stagewise_step
+    import copra_tpu as ct_
+
+    A, B, d, zmp_row = lipm_system(T, com_height)
+    ref, lo, hi = footstep_plan(n_steps=4, horizon=horizon, T=T)
+    Zfull = jnp.asarray(np.asarray(span_matrix(zmp_row, horizon + 1)),
+                        jnp.float32)
+    base = ct.LTISystem(A=jnp.asarray(A, jnp.float32),
+                        B=jnp.asarray(B, jnp.float32),
+                        d=jnp.asarray(d, jnp.float32),
+                        x0=jnp.zeros(3, jnp.float32), horizon=horizon)
+
+    def axis_sqp(ref_ax, lo_ax, hi_ax):
+        costs = (ct.TrajectoryCost(M=Zfull, p=jnp.asarray(ref_ax,
+                                                          jnp.float32),
+                                   weights=jnp.ones(horizon + 1,
+                                                    jnp.float32)),
+                 ct.SimpleControlCost(p=jnp.zeros(horizon, jnp.float32),
+                                      weights=jnp.full(horizon, 1e-6,
+                                                       jnp.float32)))
+        cons = (ct.TrajectoryConstraint(E=Zfull,
+                                        f=jnp.asarray(hi_ax, jnp.float32)),
+                ct.TrajectoryConstraint(E=-Zfull,
+                                        f=jnp.asarray(-lo_ax,
+                                                      jnp.float32)))
+        return from_mpc(base, costs, cons)
+
+    fleet = ct_.stack_stagewise([axis_sqp(ref[0], lo[0], hi[0]),
+                                 axis_sqp(ref[1], lo[1], hi[1])],
+                                repeats=robots)
+    tick = make_stagewise_step(
+        fleet, ct.SolverOptions(max_iter=30, early_exit=False, rho=1.0))
+    lanes = 2 * robots
+    x0 = jnp.zeros((lanes, 3), jnp.float32)
+    X, U, info, warm = tick(x0)                      # cold start
+    for k in range(ticks):                           # receding ticks
+        x0 = X[:, 1]                                 # step the plant
+        X, U, info, warm = tick(x0, warm)
+    return X, U, info
 
 
 if __name__ == "__main__":
@@ -109,3 +174,6 @@ if __name__ == "__main__":
     print("zmp in polygon:", bool((zmp <= hi + 1e-6).all()
                                   and (zmp >= lo - 1e-6).all()))
     print("final CoM x:", float(np.asarray(X)[0, -3]))
+    Xf, Uf, info = serve_fleet()
+    print("fleet receding ticks:", sol_info := np.asarray(info.status),
+          "converged:", bool((sol_info == 0).all()))

@@ -225,3 +225,15 @@ def test_dual_residual_parallel_matches_serial():
     r0b = stagewise_dual_residual(sqp, X, U, yX, yU)
     r1b = stagewise_dual_residual(sqp, X, U, yX, yU, parallel=True)
     np.testing.assert_allclose(float(r1b), float(r0b), rtol=1e-12)
+
+
+def test_fused_chunked_lane_path():
+    """B > LANES exercises the lax.map chunking (2 chunks of 128)."""
+    sqp = _random_sqp(jax.random.PRNGKey(41), N=8, x=2, u=1, r=1)
+    sqp_b = _batch(sqp, 130, jax.random.PRNGKey(42))
+    opts = ct.SolverOptions(max_iter=15, early_exit=False)
+    Xo, Uo, io = jax.vmap(lambda s: solve_stagewise(s, opts))(sqp_b)
+    Xf, Uf, if_ = solve_stagewise_fused(sqp_b, opts, interpret=True)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Uo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-9)
+    assert np.array_equal(np.asarray(if_.status), np.asarray(io.status))
