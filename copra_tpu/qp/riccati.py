@@ -549,6 +549,13 @@ def solve_stagewise(sqp: StagewiseQP,
     Qx_r = sqp.Qx + sigma * eyex[None] + jax.vmap(jnp.diag)(rho_x)
     Ru_r = sqp.Ru + sigma * eyeu[None] + jax.vmap(jnp.diag)(rho_u)
     sweep = lqr_solve_assoc if parallel_scan else lqr_solve
+    # the ridged stage Hessians are ITERATION-INVARIANT, so the Riccati
+    # value/gain operators are computed once; each iteration then runs
+    # the linear-terms-only sweep (identical algebra — the fused Pallas
+    # kernel's structural insight, reused on the XLA path; verified in
+    # tests/test_stagewise_kernel.py)
+    from ..ops.stagewise_kernel import (lqr_solve_fixed,
+                                        precompute_lqr_gains)
 
     if has_rows:
         # exact row reparametrization: normalize each [Cx|Cu] row
@@ -572,6 +579,10 @@ def solve_stagewise(sqp: StagewiseQP,
                     + jnp.einsum("kru,ku->kr", Cu, U))
     else:
         S_cross = None
+
+    if not parallel_scan:
+        gains_r = precompute_lqr_gains(sqp.A, sqp.B, sqp.d, Qx_r, Ru_r,
+                                       S_cross)
 
     if warm_start is not None:
         zX0, zU0, yX0, yU0 = warm_start[:4]
@@ -632,8 +643,12 @@ def solve_stagewise(sqp: StagewiseQP,
             qx_k = qx_k.at[:-1].add(
                 -jnp.einsum("krx,kr->kx", Cx, vS))
             ru_k = ru_k - jnp.einsum("kru,kr->ku", Cu, vS)
-        X, U = sweep(sqp.A, sqp.B, sqp.d, Qx_r, qx_k, Ru_r, ru_k,
-                     sqp.x0, S=S_cross)
+        if parallel_scan:
+            X, U = sweep(sqp.A, sqp.B, sqp.d, Qx_r, qx_k, Ru_r, ru_k,
+                         sqp.x0, S=S_cross)
+        else:
+            X, U = lqr_solve_fixed(gains_r, sqp.A, sqp.B, sqp.d, qx_k,
+                                   ru_k, sqp.x0)
         Xr = alpha * X + (1 - alpha) * zX
         Ur = alpha * U + (1 - alpha) * zU
         # unsplit coordinates (rho 0) keep z pinned to the relaxed iterate
