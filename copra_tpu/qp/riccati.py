@@ -313,9 +313,15 @@ def from_mpc(system: System,
     else:
         Cx = Cu = clo = chi = None
 
-    return StagewiseQP(A=A, B=B, d=d, Qx=Qx, qx=qx, Ru=Ru, ru=ru,
-                       x0=system.x0, xlb=xlb, xub=xub, ulb=ulb, uub=uub,
-                       Cx=Cx, Cu=Cu, clo=clo, chi=chi)
+    # coerce everything to the SYSTEM dtype: under jax_enable_x64,
+    # f64 cost/constraint data against an f32 system otherwise leaves
+    # mixed-dtype stage tensors that downstream solvers reject
+    cast = lambda a: None if a is None else jnp.asarray(a, dt)
+    return StagewiseQP(A=A, B=B, d=d, Qx=cast(Qx), qx=cast(qx),
+                       Ru=cast(Ru), ru=cast(ru), x0=cast(system.x0),
+                       xlb=cast(xlb), xub=cast(xub), ulb=cast(ulb),
+                       uub=cast(uub), Cx=cast(Cx), Cu=cast(Cu),
+                       clo=cast(clo), chi=cast(chi))
 
 
 @highest_precision
