@@ -154,6 +154,53 @@ def config1():
            "iterations": rounds * iters,
            "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
 
+    # Same workload through the FUSED stagewise kernel (box-only form):
+    # throughput point at the first-order accuracy class — the accurate
+    # path above stays the 1e-12-class reference.
+    import dataclasses as _dc
+    from copra_tpu.qp.riccati import from_mpc, make_stagewise_step
+    sqp = from_mpc(system, costs, constraints)
+    sqp_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape), sqp)
+    sqp_b = _dc.replace(sqp_b, x0=jnp.asarray(x0s, jnp.float32))
+    switers = int(os.environ.get("BENCH_SW_ITERS", 400))
+    sopts = ct.SolverOptions(max_iter=switers, early_exit=False,
+                             rho=float(os.environ.get("BENCH_RHO", "0.1")))
+    tick = make_stagewise_step(sqp_b, sopts,
+                               cold_options=sopts.replace(max_iter=2000),
+                               backend="fused")
+    x0_seq2 = [jnp.asarray((x0s + drift[min(t, steps + 1)]
+                            + 0.001 * t).astype(np.float32))
+               for t in range(steps + 9)]
+    X, U, info, warm = tick(x0_seq2[0])
+    X, U, info, warm = tick(x0_seq2[1], warm)
+    jax.block_until_ready(U)
+    times = []
+    for t in range(steps):
+        t0 = time.perf_counter()
+        X, U, info, warm = tick(x0_seq2[2 + t], warm)
+        jax.block_until_ready(U)
+        times.append(time.perf_counter() - t0)
+    K = 6
+    t0 = time.perf_counter()
+    for t in range(K):
+        X, U, info, warm = tick(x0_seq2[2 + steps + t - 1], warm)
+    jax.block_until_ready(U)
+    marg = (time.perf_counter() - t0) / K
+    err2 = _gate(plan, np.asarray(x0_seq2[steps + K]),
+                 U.reshape(batch, -1), (0, 1, 17, batch - 1))
+    _emit({"config": 1,
+           "metric": "LTI double-integrator N=10 solves/s "
+                     f"(B={batch}, FUSED stagewise kernel, {switers} "
+                     f"iters)",
+           "value": round(batch * steps / sum(times), 1),
+           "unit": "solves/s",
+           "chained_solves_per_s": round(batch / marg, 1),
+           "max_err_vs_exact": float(f"{err2:.3g}"),
+           "iterations": switers,
+           "converged_frac": float(np.mean(np.asarray(info.status)
+                                           == 0))})
+
 
 def config2():
     """LTI N=10 with trajectory/control/mixed/bound constraints."""
@@ -213,10 +260,10 @@ def config2():
     sqp_b = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (batch,) + a.shape), sqp)
     sqp_b = _dc.replace(sqp_b, x0=jnp.asarray(x0s, jnp.float32))
-    switers = int(os.environ.get("BENCH_SW_ITERS", 100))
+    switers = int(os.environ.get("BENCH_SW_ITERS", 800))
     sopts = ct.SolverOptions(max_iter=switers, early_exit=False, rho=0.1)
     tick = make_stagewise_step(sqp_b, sopts,
-                               cold_options=sopts.replace(max_iter=400),
+                               cold_options=sopts.replace(max_iter=2000),
                                backend="fused")
     x0_seq2 = [jnp.asarray((x0s + drift[min(t, steps + 1)]
                             + 0.001 * t).astype(np.float32))
