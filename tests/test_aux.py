@@ -104,3 +104,36 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                   np.asarray(warm.x))
     np.testing.assert_array_equal(np.asarray(restored.y),
                                   np.asarray(warm.y))
+
+
+def test_stagewise_warm_checkpoint_roundtrip(tmp_path):
+    """Stagewise warm tuples (the config-5 fleet state) checkpoint and
+    restore; resuming from the restored state reproduces the tick."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from copra_tpu.checkpoint import load_pytree, save_pytree
+    from copra_tpu.qp.riccati import from_mpc, solve_stagewise
+    from fixtures import (A, B, D, SMALL_N, SMALL_X0, M, N_MAT, XD, UD,
+                          WX, WU, U_LOWER, U_UPPER)
+
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    cons = (ct.ControlBoundConstraint.create(U_LOWER, U_UPPER),)
+    sqp = from_mpc(system, costs, cons)
+    opts = ct.SolverOptions(max_iter=60, early_exit=False)
+    _, _, _, warm = solve_stagewise(sqp, opts, return_warm=True)
+
+    path = tmp_path / "stagewise_warm.npz"
+    save_pytree(str(path), warm, {"kind": "stagewise-warm"})
+    restored, meta = load_pytree(str(path), warm)
+    assert meta["kind"] == "stagewise-warm"
+
+    x0n = jnp.asarray(SMALL_X0) + 0.01
+    ref = solve_stagewise(dataclasses.replace(sqp, x0=x0n), opts,
+                          warm_start=warm)
+    res = solve_stagewise(dataclasses.replace(sqp, x0=x0n), opts,
+                          warm_start=restored)
+    np.testing.assert_allclose(np.asarray(res[1]), np.asarray(ref[1]),
+                               atol=0)

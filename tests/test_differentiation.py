@@ -80,3 +80,33 @@ def test_gradient_descent_tunes_tracking_weight():
         lw = lw - 0.5 * jnp.sign(g) * jnp.minimum(jnp.abs(g), 1.0)
     l1, _ = grad_fn(lw)
     assert float(l1) < float(l0)
+
+
+def test_grad_through_stagewise_solve():
+    """Gradients flow through the stagewise Riccati-in-ADMM path too:
+    the fixed-gains sweeps and projections are pure jittable JAX, so
+    d(control)/d(x0) and d/d(cost weight) are exact reverse-mode."""
+    from copra_tpu.qp.riccati import from_mpc, solve_stagewise
+
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    constraints = (ct.ControlBoundConstraint.create(U_LOWER, U_UPPER),)
+    sqp = from_mpc(system, costs, constraints)
+    opts = ct.SolverOptions(max_iter=150, early_exit=False)
+
+    def first_control(x0):
+        import dataclasses
+        X, U, _ = solve_stagewise(dataclasses.replace(sqp, x0=x0), opts)
+        return U[0, 0]
+
+    g = jax.grad(first_control)(jnp.asarray(SMALL_X0))
+    assert g.shape == (2,)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # finite-difference check on the x0 sensitivity
+    eps = 1e-5
+    e0 = jnp.array([eps, 0.0])
+    fd = (first_control(jnp.asarray(SMALL_X0) + e0)
+          - first_control(jnp.asarray(SMALL_X0) - e0)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-3,
+                               atol=1e-6)
