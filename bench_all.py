@@ -13,8 +13,10 @@ its own — targets come from BASELINE.json):
    fleet tick latency, median-of-K, single-robot and fleet points.
 
 Configs 1 and 3 are box-only and run the f64-exact accurate serving path
-(same as the headline).  Configs 2 and 5 carry general rows and run the
-f32 general plan path.  Every line carries an accuracy gate
+(same as the headline); configs 1-2 also emit a FUSED-stagewise-kernel
+line (per-stage form, conv-1.0 iteration budgets).  Config 2's first
+line is the f32 general plan path; config 5 runs the stagewise engine
+(XLA + fused points).  Every line carries an accuracy gate
 (``max_err_vs_exact``) vs the exact f64 native active-set solution of the
 same QPs — a throughput number without the gate is unverified
 (docs/PERFORMANCE.md lesson 1).

@@ -330,6 +330,29 @@ class LMPC:
                               batched=batched)
         return plan, step
 
+    def as_stagewise_step(self,
+                          options: Optional[SolverOptions] = None,
+                          cold_options: Optional[SolverOptions] = None,
+                          backend: str = "auto"):
+        """Freeze the registry into a STAGEWISE serving tick (config-5
+        pattern: long horizons / per-step constraint rows; O(N) per
+        iteration, no condensed matrices).
+
+        Returns ``tick(x0, warm) -> (X, U, info, warm)`` — on TPU the
+        fused Pallas tick kernel by default (see
+        :func:`copra_tpu.qp.riccati.make_stagewise_step`).  Requires
+        every registered cost/constraint to be per-stage-expressible
+        (:func:`copra_tpu.qp.riccati.from_mpc` raises with guidance to
+        :meth:`as_plan` otherwise).
+        """
+        from .qp.riccati import from_mpc, make_stagewise_step
+
+        sqp = from_mpc(self._system, tuple(self._costs),
+                       tuple(self._constraints))
+        return make_stagewise_step(sqp, options or self._options,
+                                   cold_options=cold_options,
+                                   backend=backend)
+
     def _require_result(self) -> None:
         if self._result is None:
             raise InitializationError("call solve() first.")

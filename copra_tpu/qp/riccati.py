@@ -879,24 +879,28 @@ def make_stagewise_step(sqp: StagewiseQP,
         plan_c = plan_w if same_plan \
             else build_fused_plan(sqp_b, cold_options)
 
-        def run_fused(opts, plan):
-            def go(s, x0, w):
+        def run_fused(opts):
+            def go(plan, s, x0, w):
                 s = dataclasses.replace(s, x0=x0)
                 return solve_stagewise_fused(
                     s, opts, warm_start=w, return_warm=True,
                     plan=dataclasses.replace(plan, sqp=s))
             return go
 
-        run_cold = jax.jit(lambda s, x0: run_fused(cold_options, plan_c)(
-            s, x0, None))
-        run_warm = jax.jit(lambda s, x0, w: run_fused(options, plan_w)(
-            s, x0, w))
+        # plans flow as jit ARGUMENTS, not closure constants: a 4096-lane
+        # N=300 fleet's packed plan is ~276 MB and a baked-in constant
+        # would exceed the remote-compile transport's program size limit
+        # (CLAUDE.md invariant)
+        run_cold = jax.jit(lambda p, s, x0: run_fused(cold_options)(
+            p, s, x0, None))
+        run_warm = jax.jit(lambda p, s, x0, w: run_fused(options)(
+            p, s, x0, w))
 
         def tick(x0, warm=None):
             if not batched:
                 x0 = x0[None]
-            out = (run_cold(sqp_b, x0) if warm is None
-                   else run_warm(sqp_b, x0, warm))
+            out = (run_cold(plan_c, sqp_b, x0) if warm is None
+                   else run_warm(plan_w, sqp_b, x0, warm))
             if not batched:
                 out = jax.tree_util.tree_map(lambda a: a[0], out[:3]) \
                     + (out[3],)

@@ -237,3 +237,27 @@ def test_fused_chunked_lane_path():
     np.testing.assert_allclose(np.asarray(Uf), np.asarray(Uo), atol=1e-9)
     np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-9)
     assert np.array_equal(np.asarray(if_.status), np.asarray(io.status))
+
+
+def test_lmpc_as_stagewise_step():
+    """LMPC facade -> stagewise serving tick (the config-5 entry point),
+    matching the facade's own solve."""
+    from fixtures import (A, B, D, M, N_MAT, SMALL_N, SMALL_X0, UD,
+                          U_LOWER, U_UPPER, WU, WX, XD)
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    ctrl = ct.LMPC(system,
+                   options=ct.SolverOptions(max_iter=400,
+                                            early_exit=False))
+    ctrl.add_cost(ct.TargetCost.create(M, XD, weights=WX))
+    ctrl.add_cost(ct.ControlCost.create(N_MAT, UD, weights=WU))
+    ctrl.add_constraint(ct.ControlBoundConstraint.create(U_LOWER,
+                                                         U_UPPER))
+    tick = ctrl.as_stagewise_step(backend="xla")
+    X, U, info, warm = tick(jnp.asarray(SMALL_X0))
+    assert int(info.status) == 0
+    assert ctrl.solve()
+    np.testing.assert_allclose(np.asarray(U).ravel(),
+                               np.asarray(ctrl.control()), atol=5e-4)
+    # warm receding tick from the carried state
+    X2, U2, info2, warm = tick(jnp.asarray(SMALL_X0) + 0.01, warm)
+    assert U2.shape == U.shape
