@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -573,7 +572,6 @@ def build_fused_plan(sqp, options) -> FusedStagewisePlan:
 
     big_neg = jnp.asarray(jnp.finfo(dt).min / 4, dt)
     big_pos = jnp.asarray(jnp.finfo(dt).max / 4, dt)
-    parts = [None] * lo.C
     cols = jnp.zeros((B0, N + 1, lo.C), dt)
 
     def put(off, a):
@@ -644,7 +642,6 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
     ``interpret`` defaults to True off-TPU (Pallas interpreter).
     """
     from ..qp.riccati import (_dual_scale, stagewise_dual_residual)
-    from .. import qp as _qp
     from ..qp.types import STATUS_MAX_ITER, STATUS_SOLVED, QPSolution
 
     if interpret is None:
