@@ -379,11 +379,13 @@ class MixedCost(CostFunction):
             Nn, u = preview.nr_u_step, preview.udim
             psi = preview.psi_blocks()[:-1]          # row blocks 0..N-1
             tmp = jnp.einsum("rx,kxU->krU", self.M, psi)
-            # deposit N at column block k of row k via one-hot selectors
-            eye = jnp.eye(Nn, dtype=tmp.dtype)
-            sel = jnp.kron(eye, jnp.eye(u, dtype=tmp.dtype)).reshape(
-                Nn, Nn * u, u)
-            tmp = tmp + jnp.einsum("ru,kUu->krU", self.N, sel)
+            # deposit N at column block k of row k via block-row selectors
+            # sel_k = [0 ... I_u ... 0] (rows k*u..k*u+u-1 of I_{N*u}; the
+            # earlier kron(..).reshape(Nn, Nn*u, u) form was only correct
+            # for u == 1 — same bug class as condense_ltv, see
+            # tests/test_autospan_errors.py::test_mixed_cost_multi_input)
+            sel = jnp.eye(Nn * u, dtype=tmp.dtype).reshape(Nn, u, Nn * u)
+            tmp = tmp + jnp.einsum("ru,kuU->krU", self.N, sel)
             fr_blocks = fr.reshape(preview.nr_x_step, preview.xdim)[:-1]
             resid = jnp.einsum("rx,kx->kr", self.M, fr_blocks) - self.p
             return _wq(tmp, w), _wc(resid, w, tmp)

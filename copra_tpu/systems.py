@@ -328,15 +328,17 @@ def condense_ltv(A: Array, B: Array, d: Array) -> Preview:
     u = B.shape[2]
     dtype = jnp.result_type(A, B, d)
 
-    # one-hot column selectors, [N, N*u, u]: e_k deposits B_k at block col k
-    eye_n = jnp.eye(N, dtype=dtype)
-    sel = jnp.kron(eye_n, jnp.eye(u, dtype=dtype)).reshape(N, N * u, u)
+    # block-row selectors, [N, u, N*u]: sel_k = [0 ... I_u ... 0] deposits
+    # B_k at block column k.  (I.reshape(N, u, N*u)[k] IS rows k*u..k*u+u-1
+    # of I_{N*u}; the earlier kron(..).reshape(N, N*u, u) form was only
+    # correct for u == 1 — caught by tests/test_fuzz_frontend.py.)
+    sel = jnp.eye(N * u, dtype=dtype).reshape(N, u, N * u)
 
     def step(carry, inp):
         phi_k, psi_k, xi_k = carry
         A_k, B_k, d_k, sel_k = inp
         phi_n = A_k @ phi_k
-        psi_n = A_k @ psi_k + B_k @ sel_k.T
+        psi_n = A_k @ psi_k + B_k @ sel_k
         xi_n = A_k @ xi_k + d_k
         return (phi_n, psi_n, xi_n), (phi_n, psi_n, xi_n)
 
@@ -417,9 +419,9 @@ def condense_ltv_assoc(A: Array, B: Array, d: Array) -> Preview:
     dtype = jnp.result_type(A, B, d)
 
     # inhomogeneous terms: [xi_k | Psi-row_k] stacked as one [x, 1+N*u] block
-    eye_n = jnp.eye(N, dtype=dtype)
-    sel = jnp.kron(eye_n, jnp.eye(u, dtype=dtype)).reshape(N, N * u, u)
-    U = jnp.einsum("kxu,kUu->kxU", B.astype(dtype), sel)   # [N, x, N*u]
+    # (same block-row selector as condense_ltv: correct for every u)
+    sel = jnp.eye(N * u, dtype=dtype).reshape(N, u, N * u)
+    U = jnp.einsum("kxu,kuU->kxU", B.astype(dtype), sel)   # [N, x, N*u]
     rhs = jnp.concatenate([d.astype(dtype)[:, :, None], U], axis=2)
 
     def combine(left, right):

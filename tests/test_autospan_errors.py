@@ -176,3 +176,39 @@ def test_remove_cost_and_constraint(controller):
 def test_unknown_solver():
     with pytest.raises(ct.SolverError):
         ct.get_solver("nonexistent")
+
+
+def test_mixed_cost_multi_input_per_step_equals_full_size():
+    """Regression pin for udim >= 2: MixedCost's per-step one-hot
+    selector used to be correct only for u == 1 (every golden fixture
+    has u=1), depositing N in the wrong Q columns.  The per-step
+    lowering must equal the manually spanned full-size entry
+    (span M with add_cols=1 — the x_N-not-penalized quirk,
+    reference src/costFunctions.cpp:217-224,251-256)."""
+    import numpy as np
+    from copra_tpu.autospan import span_matrix, span_vector
+
+    rng = np.random.default_rng(11)
+    N, x, u, r = 6, 3, 2, 2
+    As = 0.6 * rng.normal(size=(x, x))
+    Bs = rng.normal(size=(x, u))
+    ds = rng.normal(size=x)
+    x0 = rng.normal(size=x)
+    system = ct.LTISystem.create(As, Bs, ds, x0, N)
+    prev = ct.condense(system)
+
+    Mm = rng.normal(size=(r, x))
+    Nm = rng.normal(size=(r, u))
+    p = rng.normal(size=r)
+    w = rng.uniform(0.1, 1.0, r)
+
+    per_step = ct.MixedCost.create(Mm, Nm, p, weights=w)
+    full = ct.MixedCost.create(
+        span_matrix(Mm, r * N, add_cols=1), span_matrix(Nm, r * N),
+        span_vector(p, r * N), weights=span_vector(w, r * N))
+    per_step.validate(prev)
+    full.validate(prev)
+    Q1, c1 = per_step.lower(prev, system.x0)
+    Q2, c2 = full.lower(prev, system.x0)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-12)

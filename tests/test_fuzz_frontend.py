@@ -1,0 +1,155 @@
+"""Randomized front-end cross-validation (property fuzz).
+
+The fixture-based suites pin specific behaviors; this suite fuzzes the
+WHOLE pipeline — random dimensions, random LTI/LTV dynamics, random
+cost combinations, random constraint combinations with guaranteed-
+feasible rows — and cross-validates three independent solution paths on
+every draw:
+
+1. condensed QP + batched ADMM (the default on-device path),
+2. condensed QP + the exact f64 native active-set oracle
+   (``native/activeset.cpp``) — the reference-role solution
+   (``/root/reference/src/solvers/qpOASESSolver.cpp:114-124`` is
+   vertex-exact by construction, so this is the parity standard),
+3. the stagewise Riccati-in-ADMM engine (``qp/riccati.py``) whenever the
+   drawn problem is per-stage-expressible.
+
+Feasibility by construction: general rows use a witness control ``U_w``
+inside the box, ``f = rows(U_w) + margin`` — the witness point is always
+feasible, while a pull-target cost makes rows/bounds bind on most draws.
+"""
+
+import numpy as np
+import pytest
+
+import copra_tpu as ct
+from copra_tpu.qp.native import native_available, solve_qp_native
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native solver did not build")
+
+N_CASES = 14
+
+
+def _draw_problem(seed):
+    rng = np.random.default_rng(seed)
+    x = int(rng.integers(1, 5))          # state dim 1..4
+    u = int(rng.integers(1, min(x, 3) + 1))
+    N = int(rng.integers(3, 9))          # horizon 3..8
+
+    # well-behaved dynamics: spectral radius <= ~1.05
+    A0 = rng.normal(size=(x, x))
+    A0 *= rng.uniform(0.5, 1.05) / max(np.abs(np.linalg.eigvals(A0)).max(),
+                                       1e-6)
+    B0 = rng.normal(size=(x, u))
+    d0 = 0.1 * rng.normal(size=x)
+    x0 = rng.normal(size=x)
+
+    if rng.random() < 0.5:
+        system = ct.LTISystem.create(A0, B0, d0, x0, N)
+    else:
+        As = A0 + 0.05 * rng.normal(size=(N, x, x))
+        Bs = B0 + 0.05 * rng.normal(size=(N, x, u))
+        ds = d0 + 0.05 * rng.normal(size=(N, x))
+        system = ct.LTVSystem.create(As, Bs, ds, x0)
+
+    # costs: always a PD control cost (bounded problem); random extras.
+    # The target pulls hard toward a random state so constraints bind.
+    costs = [ct.SimpleControlCost.create(rng.normal(size=u),
+                                         weights=rng.uniform(0.01, 0.1, u))]
+    stagewise_ok = True
+    if rng.random() < 0.8:
+        costs.append(ct.TargetCost.create(
+            rng.normal(size=(x, x)), 3.0 * rng.normal(size=x),
+            weights=rng.uniform(0.5, 5.0, x)))
+    if rng.random() < 0.6:
+        costs.append(ct.TrajectoryCost.create(
+            rng.normal(size=(x, x)), rng.normal(size=x),
+            weights=rng.uniform(0.05, 0.5, x)))
+    if rng.random() < 0.3:
+        costs.append(ct.SimpleTrajectoryCost.create(
+            rng.normal(size=x), weights=rng.uniform(0.05, 0.5, x)))
+    if rng.random() < 0.25:
+        # MixedCost genuinely couples stages -> condensed paths only
+        costs.append(ct.MixedCost.create(
+            rng.normal(size=(u, x)), rng.normal(size=(u, u)),
+            rng.normal(size=u), weights=rng.uniform(0.05, 0.2, u)))
+        stagewise_ok = False
+
+    # constraints: always a control box (witness U_w = its center)
+    u_lo = -rng.uniform(1.0, 4.0, u)
+    u_hi = rng.uniform(1.0, 4.0, u)
+    U_w = np.tile((u_lo + u_hi) / 2.0, N)
+    constraints = [ct.ControlBoundConstraint.create(u_lo, u_hi)]
+
+    prev = ct.condense(system)
+    X_w = (np.asarray(prev.Phi) @ x0 + np.asarray(prev.Psi) @ U_w
+           + np.asarray(prev.xi))
+
+    if rng.random() < 0.5:
+        # trajectory bounds around the witness trajectory, some infinite
+        Xb = X_w.reshape(N + 1, x)
+        lo = Xb.min(axis=0) - rng.uniform(0.5, 3.0, x)
+        hi = Xb.max(axis=0) + rng.uniform(0.5, 3.0, x)
+        inf_mask = rng.random(x) < 0.4
+        lo = np.where(inf_mask, -np.inf, lo)
+        hi = np.where(rng.random(x) < 0.4, np.inf, hi)
+        constraints.append(ct.TrajectoryBoundConstraint.create(lo, hi))
+    if rng.random() < 0.5:
+        r = int(rng.integers(1, 3))
+        E = rng.normal(size=(r, x))
+        vals = (E @ X_w.reshape(N + 1, x).T)      # (r, N+1)
+        f = vals.max(axis=1) + rng.uniform(0.05, 0.5, r)
+        constraints.append(ct.TrajectoryConstraint.create(E, f))
+    if rng.random() < 0.4:
+        r = int(rng.integers(1, 3))
+        G = rng.normal(size=(r, u))
+        vals = G @ U_w.reshape(N, u).T
+        f = vals.max(axis=1) + rng.uniform(0.05, 0.5, r)
+        constraints.append(ct.ControlConstraint.create(G, f))
+    if rng.random() < 0.4:
+        r = int(rng.integers(1, 3))
+        E = rng.normal(size=(r, x))
+        G = rng.normal(size=(r, u))
+        # mixed rows pair x_k with u_k (row 0 = G u_0 + E x_0, the
+        # reference's banding: Psi row-block 0 is zero)
+        vals = (E @ X_w.reshape(N + 1, x)[:-1].T + G @ U_w.reshape(N, u).T)
+        f = vals.max(axis=1) + rng.uniform(0.05, 0.5, r)
+        constraints.append(ct.MixedConstraint.create(E, G, f))
+
+    return system, tuple(costs), tuple(constraints), stagewise_ok
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_random_frontend_cross_validation(seed):
+    system, costs, constraints, stagewise_ok = _draw_problem(seed)
+    prev = ct.condense(system)
+    qp = ct.build_qp(prev, system.x0, costs, constraints)
+
+    ref = solve_qp_native(qp)
+    assert int(ref.status) == ct.STATUS_SOLVED, \
+        f"oracle failed on seed {seed}: {ref.inform()}"
+    U_ref = np.asarray(ref.x)
+    scale = max(1.0, np.abs(U_ref).max())
+
+    # absolute eps: the relative criterion exits too early for this
+    # contract (CLAUDE.md golden-contract note)
+    res = ct.solve_mpc(system, costs, constraints,
+                       ct.SolverOptions(max_iter=20000, eps_abs=1e-9,
+                                        eps_rel=0.0))
+    U_admm = np.asarray(res.control)
+    err = np.abs(U_admm - U_ref).max() / scale
+    assert err <= 1e-5, f"seed {seed}: ADMM vs oracle rel err {err:.2e}"
+
+    # dynamics replay on both paths (reference contract: <= 1e-10)
+    assert float(ct.replay_dynamics(system, res.trajectory,
+                                    res.control)) <= 1e-8
+
+    if stagewise_ok:
+        _, U_sw, _ = ct.solve_mpc_stagewise(
+            system, costs, constraints,
+            ct.SolverOptions(max_iter=20000, eps_abs=1e-8, eps_rel=0.0))
+        U_st = np.asarray(U_sw).reshape(-1)
+        err_st = np.abs(U_st - U_ref).max() / scale
+        assert err_st <= 1e-4, \
+            f"seed {seed}: stagewise vs oracle rel err {err_st:.2e}"

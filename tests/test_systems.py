@@ -28,6 +28,31 @@ def test_condense_ltv_matches_numpy_oracle():
     np.testing.assert_allclose(prev.xi, xi, atol=1e-12)
 
 
+@pytest.mark.parametrize("u", [2, 3])
+def test_condense_ltv_multi_input_matches_numpy_oracle(u):
+    """Regression pin for udim >= 2: the Psi column selector used to be
+    correct only for u == 1 (every golden fixture has u=1), misplacing
+    B_k blocks — caught by tests/test_fuzz_frontend.py."""
+    rng = np.random.default_rng(7 + u)
+    N, x = 6, 3
+    As = 0.6 * rng.normal(size=(N, x, x))
+    Bs = rng.normal(size=(N, x, u))
+    Ds = rng.normal(size=(N, x))
+    for cond in (ct.condense_ltv, ct.condense_ltv_assoc):
+        prev = cond(As, Bs, Ds)
+        Phi, Psi, xi = numpy_condense_ltv(As, Bs, Ds)
+        np.testing.assert_allclose(prev.Phi, Phi, atol=1e-12)
+        np.testing.assert_allclose(prev.Psi, Psi, atol=1e-12)
+        np.testing.assert_allclose(prev.xi, xi, atol=1e-12)
+    # LTI condensers at the same u (Toeplitz gather path)
+    Phi, Psi, xi = numpy_condense_lti(As[0], Bs[0], Ds[0], N)
+    for cond in (ct.condense_lti, ct.condense_lti_assoc):
+        prev = cond(As[0], Bs[0], Ds[0], N)
+        np.testing.assert_allclose(prev.Phi, Phi, atol=1e-12)
+        np.testing.assert_allclose(prev.Psi, Psi, atol=1e-12)
+        np.testing.assert_allclose(prev.xi, xi, atol=1e-12)
+
+
 def test_preview_invariant_reconstructs_rollout():
     """X = Phi x0 + Psi U + xi must equal a step-by-step rollout
     (reference invariant, src/systems/TimeInvariantSystem.cpp:34-36)."""
