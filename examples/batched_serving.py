@@ -49,11 +49,17 @@ step = make_sharded_mpc_step(mesh, costs, constraints,
 
 res, stats = step(fleet, None)               # cold start (compiles)
 warm = ct.WarmStart(x=res.solution.x, y=res.solution.y, z=res.solution.z)
+res, stats = step(fleet, warm)               # warm signature (compiles too:
+jax.block_until_ready(res.control)           # None vs WarmStart = new trace)
 
+K = 5                                        # steady state: median-free mean
 t0 = time.perf_counter()
-res, stats = step(fleet, warm)               # steady-state warm step
+for _ in range(K):
+    res, stats = step(fleet, warm)
+    warm = ct.WarmStart(x=res.solution.x, y=res.solution.y,
+                        z=res.solution.z)
 jax.block_until_ready(res.control)
-dt = time.perf_counter() - t0
+dt = (time.perf_counter() - t0) / K
 
 print(f"devices: {len(jax.devices())}   batch: {BATCH}   N={HORIZON}")
 print(f"warm step: {dt * 1e3:.1f} ms -> {BATCH / dt:,.0f} solves/s")
