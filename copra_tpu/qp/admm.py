@@ -132,55 +132,89 @@ def _polish(qp: DenseQP, C: Array, l: Array, u: Array,
     eq_mask = jnp.arange(m) < qp.nr_eq
     act_lo = (y < -thr) | eq_mask
     act_up = y > thr
-    act = act_lo | act_up
-    actf = act.astype(dt)
-
-    Ca = C * actf[:, None]
-    b_act = jnp.where(act, jnp.where(act_up, u, l), 0.0).astype(dt)
 
     eye_n = jnp.eye(n, dtype=dt)
     eye_m = jnp.eye(m, dtype=dt)
-    inact_diag = jnp.diag(1.0 - actf)
 
-    K_reg = jnp.block([
-        [qp.Q + delta * eye_n, Ca.T],
-        [Ca, -delta * eye_m - inact_diag],
-    ])
-    K0 = jnp.block([
-        [qp.Q, Ca.T],
-        [Ca, -inact_diag],
-    ])
-    rhs = jnp.concatenate([-qp.c, b_act])
+    def attempt(act_lo_c, act_up_c):
+        act = act_lo_c | act_up_c
+        actf = act.astype(dt)
+        Ca = C * actf[:, None]
+        b_act = jnp.where(act, jnp.where(act_up_c, u, l), 0.0).astype(dt)
+        inact_diag = jnp.diag(1.0 - actf)
+        K_reg = jnp.block([
+            [qp.Q + delta * eye_n, Ca.T],
+            [Ca, -delta * eye_m - inact_diag],
+        ])
+        K0 = jnp.block([
+            [qp.Q, Ca.T],
+            [Ca, -inact_diag],
+        ])
+        rhs = jnp.concatenate([-qp.c, b_act])
+        lu, piv = jax.scipy.linalg.lu_factor(K_reg)
+        t = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+        for _ in range(options.polish_refine_steps):
+            r = rhs - K0 @ t
+            t = t + jax.scipy.linalg.lu_solve((lu, piv), r)
+        return t[:n], jnp.where(act, t[n:], 0.0).astype(dt)
 
-    lu, piv = jax.scipy.linalg.lu_factor(K_reg)
-    t = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-    for _ in range(options.polish_refine_steps):
-        r = rhs - K0 @ t
-        t = t + jax.scipy.linalg.lu_solve((lu, piv), r)
-
-    x_pol = t[:n]
-    y_pol = jnp.where(act, t[n:], 0.0).astype(dt)
-
-    # accept only if KKT residuals improved
     def _res(xc, yc):
         zc = jnp.clip(C @ xc, l, u)
         rp = _inf_norm(C @ xc - zc)
         rd = _inf_norm(qp.Q @ xc + qp.c + C.T @ yc)
-        return rp + rd, zc
+        return rp + rd
 
-    res_old, _ = _res(x, y)
-    res_new, z_pol = _res(x_pol, y_pol)
-    # dual-feasibility guard: a wrong active-set guess can satisfy the KKT
-    # equations exactly (polish solves them by construction) while flipping
-    # multiplier signs — reject it
-    sgn_tol = 1e-6 * jnp.maximum(_inf_norm(y_pol), 1.0)
     ineq_mask = ~eq_mask
-    sign_ok = jnp.all(
-        jnp.where(act_up & ineq_mask, y_pol >= -sgn_tol, True)
-        & jnp.where(act_lo & ineq_mask, y_pol <= sgn_tol, True))
-    ok = (res_new < res_old) & sign_ok & jnp.all(jnp.isfinite(x_pol))
-    x_out = jnp.where(ok, x_pol, x)
-    y_out = jnp.where(ok, y_pol, y)
+    row_idx = jnp.arange(m)
+    x_out, y_out = x, y
+    best_res = _res(x, y)
+    # Iterative single-pivot active-set refinement (a mini dual
+    # active-set method on top of the ADMM iterate): the one-shot
+    # dual-sign guess can carry a spuriously-active row when the
+    # fixed-rho iteration stalls with a primal gap — the KKT solve then
+    # pins that row to its bound, the residual check rejects the
+    # candidate, and the stall survives polishing (found by
+    # tests/test_fuzz_serving.py seed 7, where one extra row turns a
+    # 1e-15 solve into a 1e-3 miss).  Each extra round removes the
+    # worst wrong-sign active row OR adds the worst violated row — ONE
+    # pivot per round, the classic active-set step; updating all rows
+    # at once from a far-off candidate diverges.
+    for _ in range(max(1, int(options.polish_active_rounds))):
+        x_pol, y_pol = attempt(act_lo, act_up)
+        res_new = _res(x_pol, y_pol)
+        # dual-feasibility guard: a wrong active-set guess can satisfy
+        # the KKT equations exactly (polish solves them by construction)
+        # while flipping multiplier signs — reject it
+        sgn_tol = 1e-6 * jnp.maximum(_inf_norm(y_pol), 1.0)
+        sign_ok = jnp.all(
+            jnp.where(act_up & ineq_mask, y_pol >= -sgn_tol, True)
+            & jnp.where(act_lo & ineq_mask, y_pol <= sgn_tol, True))
+        finite = jnp.all(jnp.isfinite(x_pol))
+        ok = (res_new < best_res) & sign_ok & finite
+        x_out = jnp.where(ok, x_pol, x_out)
+        y_out = jnp.where(ok, y_pol, y_out)
+        best_res = jnp.where(ok, res_new, best_res)
+        # pivot scores from the candidate
+        z_cand = C @ x_pol
+        wrong = jnp.maximum(
+            jnp.where(act_up & ineq_mask, -y_pol, 0.0),
+            jnp.where(act_lo & ineq_mask, y_pol, 0.0))
+        viol_up = jnp.maximum(z_cand - u, 0.0)
+        viol_lo = jnp.maximum(l - z_cand, 0.0)
+        inactive = ~(act_lo | act_up)
+        add_score = jnp.where(inactive,
+                              jnp.maximum(viol_up, viol_lo), 0.0)
+        piv_tol = 1e-9 * jnp.maximum(_inf_norm(z_cand), 1.0)
+        drop_better = jnp.max(wrong) >= jnp.max(add_score)
+        do_pivot = (jnp.maximum(jnp.max(wrong), jnp.max(add_score))
+                    > piv_tol) & finite
+        drop_sel = ((row_idx == jnp.argmax(wrong))
+                    & drop_better & do_pivot)
+        add_sel = ((row_idx == jnp.argmax(add_score))
+                   & ~drop_better & do_pivot)
+        act_up = (act_up & ~drop_sel) | (add_sel & (viol_up > viol_lo))
+        act_lo = (((act_lo & ~drop_sel)
+                   | (add_sel & (viol_up <= viol_lo))) | eq_mask)
     return x_out, y_out
 
 

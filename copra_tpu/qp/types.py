@@ -200,6 +200,11 @@ class SolverOptions:
     polish: bool = True           # active-set KKT polish after ADMM
     polish_delta: float = 1e-10   # floored at 100*machine_eps per dtype
     polish_refine_steps: int = 3
+    # active-set refinement rounds inside the polish (drop wrong-sign
+    # rows / add violated rows and re-solve): 1 = the classic one-shot
+    # OSQP polish; 2 (default) recovers from a spuriously-active row in
+    # the dual-sign guess (stalled fixed-rho iterates carry those)
+    polish_active_rounds: int = 2
     early_exit: bool = True       # False -> fixed iteration count (uniform
     #                               across batch lanes / mesh shards)
     infeasibility_detection: bool = True

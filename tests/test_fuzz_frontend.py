@@ -31,7 +31,11 @@ pytestmark = pytest.mark.skipif(not native_available(),
 N_CASES = 14
 
 
-def _draw_problem(seed):
+def _draw_problem(seed, eq_rows=True):
+    """Random MPC problem.  ``eq_rows=False`` draws the same problem but
+    leaves out the equality rows (their right-hand sides are anchored at
+    the INITIAL witness trajectory, so they can become infeasible once a
+    closed loop drifts the state — the serving fuzz uses this)."""
     rng = np.random.default_rng(seed)
     x = int(rng.integers(1, 5))          # state dim 1..4
     u = int(rng.integers(1, min(x, 3) + 1))
@@ -75,6 +79,13 @@ def _draw_problem(seed):
             rng.normal(size=(u, x)), rng.normal(size=(u, u)),
             rng.normal(size=u), weights=rng.uniform(0.05, 0.2, u)))
         stagewise_ok = False
+    if rng.random() < 0.2:
+        # full-horizon (non-block-diagonal) TrajectoryCost entry mode:
+        # couples stages -> condensed paths only
+        costs.append(ct.TrajectoryCost.create(
+            rng.normal(size=(x, (N + 1) * x)),
+            rng.normal(size=x), weights=rng.uniform(0.02, 0.1, x)))
+        stagewise_ok = False
 
     # constraints: always a control box (witness U_w = its center)
     u_lo = -rng.uniform(1.0, 4.0, u)
@@ -116,6 +127,22 @@ def _draw_problem(seed):
         vals = (E @ X_w.reshape(N + 1, x)[:-1].T + G @ U_w.reshape(N, u).T)
         f = vals.max(axis=1) + rng.uniform(0.05, 0.5, r)
         constraints.append(ct.MixedConstraint.create(E, G, f))
+    if rng.random() < 0.3:
+        # one full-horizon EQUALITY row on X: anchors a random trajectory
+        # functional at its witness value (feasible by construction);
+        # non-block-diagonal -> condensed paths only
+        e = rng.normal(size=(1, (N + 1) * x))
+        if eq_rows:
+            constraints.append(ct.TrajectoryConstraint.create(
+                e, e @ X_w, is_inequality=False))
+            stagewise_ok = False
+    if rng.random() < 0.2:
+        # per-step control EQUALITY row (pins G u_k at the witness value
+        # every step; the witness is step-constant so one f fits all k)
+        G = rng.normal(size=(1, u))
+        if eq_rows:
+            constraints.append(ct.ControlConstraint.create(
+                G, G @ U_w[:u], is_inequality=False))
 
     return system, tuple(costs), tuple(constraints), stagewise_ok
 

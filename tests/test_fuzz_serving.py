@@ -40,7 +40,10 @@ def _step_state(system, x0, U):
 
 @pytest.mark.parametrize("seed", [0, 2, 4, 7, 11])
 def test_plan_step_receding_matches_fresh_solves(seed):
-    system, costs, constraints, _ = _draw_problem(seed)
+    # eq_rows=False: equality right-hand sides are anchored at the
+    # initial witness trajectory and can become infeasible once the
+    # closed loop drifts the state (the front-end fuzz covers them)
+    system, costs, constraints, _ = _draw_problem(seed, eq_rows=False)
     opts = ct.SolverOptions(max_iter=20000, eps_abs=1e-9, eps_rel=0.0)
     plan = ct.make_control_plan(system, costs, constraints)
     step = ct.make_plan_step(plan, opts)
@@ -69,7 +72,8 @@ def test_plan_step_receding_matches_fresh_solves(seed):
 
 @pytest.mark.parametrize("seed", [1, 3, 6, 8])
 def test_stagewise_step_receding_matches_oracle(seed):
-    system, costs, constraints, stagewise_ok = _draw_problem(seed)
+    system, costs, constraints, stagewise_ok = _draw_problem(
+        seed, eq_rows=False)
     if not stagewise_ok:
         pytest.skip("draw includes stage-coupling entries")
     import dataclasses
