@@ -111,3 +111,42 @@ def test_stagewise_step_receding_matches_oracle(seed):
         xs = np.stack([_step_state(system, xs[lane],
                                    np.asarray(U)[lane].reshape(-1))
                        for lane in range(B)])
+
+
+@pytest.mark.parametrize("seed", [0, 5, 12])
+def test_fused_stagewise_matches_xla_on_random_draws(seed):
+    """The fused Pallas tick kernel must reproduce the XLA scan path on
+    front-end-lowered random problems (``from_mpc`` shapes: re-expressed
+    trajectory rows, mixed rows, masked bounds), not just on the
+    kernel-local ``_random_sqp`` fixtures."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from copra_tpu.qp.riccati import from_mpc, make_stagewise_step
+
+    system, costs, constraints, stagewise_ok = _draw_problem(
+        seed, eq_rows=False)
+    if not stagewise_ok:
+        pytest.skip("draw includes stage-coupling entries")
+    sqp = from_mpc(system, costs, constraints)
+    sqp = jax.tree_util.tree_map(lambda a: jnp.asarray(a, jnp.float32), sqp)
+    B = 2
+    sqp_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), sqp)
+    rng = np.random.default_rng(200 + seed)
+    x0s = np.asarray(system.x0, np.float32)[None] + np.float32(0.05) * \
+        rng.normal(size=(B, system.xdim)).astype(np.float32)
+    sqp_b = dataclasses.replace(sqp_b, x0=jnp.asarray(x0s))
+
+    opts = ct.SolverOptions(max_iter=25, early_exit=False)
+    tick_x = make_stagewise_step(sqp_b, opts, backend="xla")
+    tick_f = make_stagewise_step(sqp_b, opts, backend="fused")
+    warm_x = warm_f = None
+    for k in range(3):
+        x0k = jnp.asarray(x0s + np.float32(0.01 * k))
+        Xx, Ux, ix, warm_x = tick_x(x0k, warm_x)
+        Xf, Uf, if_, warm_f = tick_f(x0k, warm_f)
+        np.testing.assert_allclose(np.asarray(Uf), np.asarray(Ux),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xx),
+                                   atol=5e-5)
