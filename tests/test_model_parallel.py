@@ -96,8 +96,9 @@ def test_horizon_sharded_lqr_matches_serial():
     np.testing.assert_allclose(np.asarray(X2), np.asarray(X1), atol=1e-8)
 
 
-def test_dp_tp_two_axis_mesh_matches_vmapped_single_device():
-    """DP x TP on a 2x4 ("batch","model") mesh == vmapped single-device.
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_dp_tp_two_axis_mesh_matches_vmapped_single_device(shape):
+    """DP x TP on a 2-D ("batch","model") mesh == vmapped single-device.
 
     The composition promised by parallel/model.py's module docstring
     (VERDICT round-1 weakness #7): scenarios sharded over "batch", each
@@ -121,7 +122,7 @@ def test_dp_tp_two_axis_mesh_matches_vmapped_single_device():
                             row_normalize=False, scaling=0)
     ref = jax.vmap(lambda q: ct.solve_qp(q, opts))(qp_b)
 
-    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4),
+    mesh = Mesh(np.asarray(jax.devices()).reshape(shape),
                 ("batch", "model"))
     sol = solve_qp_dp_tp(qp_b, opts, mesh=mesh)
     np.testing.assert_allclose(np.asarray(sol.x), np.asarray(ref.x),
@@ -129,8 +130,9 @@ def test_dp_tp_two_axis_mesh_matches_vmapped_single_device():
     assert sol.x.shape == (4, qp_b.Q.shape[-1])
 
 
-def test_batch_seq_two_axis_lqr_matches_serial():
-    """Batch x seq LQR on a 2x4 ("batch","seq") mesh == per-scenario serial
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_batch_seq_two_axis_lqr_matches_serial(shape):
+    """Batch x seq LQR on a 2-D ("batch","seq") mesh == per-scenario serial
     Riccati (VERDICT round-1 weakness #7, seq-under-batch composition)."""
     from copra_tpu.parallel.horizon import lqr_solve_sharded_batch
 
@@ -150,7 +152,7 @@ def test_batch_seq_two_axis_lqr_matches_serial():
     ru = jnp.asarray(rng.normal(size=(Bn, N, u)))
     x0 = jnp.asarray(rng.normal(size=(Bn, x)))
 
-    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("batch", "seq"))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(shape), ("batch", "seq"))
     X2, U2 = lqr_solve_sharded_batch(A_, B_, d_, Qx, qx, Ru, ru, x0,
                                      mesh=mesh)
     for i in range(Bn):
