@@ -150,6 +150,17 @@ def from_mpc(system: System,
     else:
         A, B, d = system.A, system.B, system.d
     dt = A.dtype
+    # The stagewise QP inherits the SYSTEM dtype: cost/constraint data in
+    # a wider dtype (e.g. f64 numpy defaults under x64) would otherwise
+    # silently promote some stage-cost stacks while the scatter-add into
+    # the terminal block performs a lossy cast (a FutureWarning today, an
+    # error in future JAX).
+    _to_dt = lambda a: (jnp.asarray(a, dt)
+                        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                        else a)
+    costs = tuple(jax.tree_util.tree_map(_to_dt, c) for c in costs)
+    constraints = tuple(jax.tree_util.tree_map(_to_dt, c)
+                        for c in constraints)
 
     from ..mpc import HESSIAN_RIDGE
 
