@@ -28,15 +28,16 @@ from .constraints import (Constraint, ConstraintKind, ControlBoundConstraint,
                           TrajectoryBoundConstraint, TrajectoryConstraint)
 from .costs import (ControlCost, CostFunction, MixedCost, SimpleControlCost,
                     SimpleTrajectoryCost, TargetCost, TrajectoryCost)
-from .errors import (CopraError, DimensionError, InitializationError,
-                     SolverError)
+from .errors import (CopraError, DimensionError, InfeasibleProblemError,
+                     InitializationError, SolverError)
 from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
 from .plan import (ControlPlan, make_control_plan, make_plan_step, plan_qp,
                    plan_trajectory)
 from .qp.admm import solve_qp, solve_qp_batched
 from .qp.riccati import (StagewiseQP, lqr_solve, lqr_solve_assoc,
-                         make_stagewise_step, solve_mpc_stagewise,
-                         solve_stagewise, stack_stagewise)
+                         make_stagewise_multistep, make_stagewise_step,
+                         solve_mpc_stagewise, solve_stagewise,
+                         stack_stagewise)
 from .qp.registry import (available_solvers, get_solver, register_solver)
 from .qp.types import (DenseQP, QPSolution, SolverOptions, WarmStart,
                        STATUS_MAX_ITER, STATUS_PRIMAL_INFEASIBLE,
@@ -65,7 +66,9 @@ __all__ = [
     "solve_qp", "solve_qp_batched", "register_solver", "get_solver",
     "available_solvers",
     "StagewiseQP", "lqr_solve", "lqr_solve_assoc", "solve_stagewise",
-    "solve_mpc_stagewise", "make_stagewise_step", "stack_stagewise",
+    "solve_mpc_stagewise", "make_stagewise_step",
+    "make_stagewise_multistep", "stack_stagewise",
     "span_matrix", "span_vector",
     "CopraError", "DimensionError", "InitializationError", "SolverError",
+    "InfeasibleProblemError",
 ]

@@ -37,6 +37,18 @@ class SolverError(CopraError, RuntimeError):
     """QP backend failure (unknown solver name, invalid options...)."""
 
 
+class InfeasibleProblemError(CopraError, ValueError):
+    """Problem data is provably infeasible at build time.
+
+    Raised where a contradiction is visible before any solve runs — e.g.
+    a trajectory-constraint row on the FIXED initial state ``x_0`` that
+    the given ``x_0`` violates (the reference constrains ``x_0`` too,
+    ``/root/reference/src/constraints.cpp:68-79``, and its QP correctly
+    reports infeasible; our stagewise builder validates instead of
+    silently dropping the row).
+    """
+
+
 def _shape(arr) -> tuple:
     return tuple(getattr(arr, "shape", ()))
 

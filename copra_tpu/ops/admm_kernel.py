@@ -391,9 +391,15 @@ def solve_qp_batched_fused(qp, options=None, warm_start=None,
     eps_rel = max(options.eps_rel, eps_floor)
     scale_p = jnp.maximum(jnp.max(jnp.abs(x), axis=-1),
                           jnp.max(jnp.abs(z), axis=-1))
+    # dual scale follows the OSQP convention max(|Qx|, |C'y|, |c|) — the
+    # gradient TERMS, never the gradient itself (a residual-referential
+    # tolerance quietly loosens the check; VERDICT r2 weak #8).  C = I on
+    # this box-only path, so C'y = y.
+    scale_d = jnp.maximum(jnp.max(jnp.abs(gq), axis=-1),
+                          jnp.maximum(jnp.max(jnp.abs(y), axis=-1),
+                                      jnp.max(jnp.abs(c), axis=-1)))
     conv = (r_prim <= eps_abs + eps_rel * scale_p) \
-        & (r_dual <= eps_abs + eps_rel * jnp.max(jnp.abs(grad), axis=-1)
-           + eps_rel * jnp.max(jnp.abs(c), axis=-1) + eps_abs)
+        & (r_dual <= eps_abs + eps_rel * scale_d)
     status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER).astype(jnp.int32)
     iters = jnp.full((B,), options.max_iter, jnp.int32)
     return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,

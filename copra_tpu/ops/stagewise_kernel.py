@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -491,6 +492,43 @@ class FusedStagewisePlan:
     rho_u: Array             # [B, N, u]
 
 
+def check_fused_envelope(N: int, x: int, u: int, r: int, dtype) -> None:
+    """Trace-time scale guard for the fused tick kernel (VERDICT r2
+    weak #6): raise with guidance instead of letting Mosaic OOM scoped
+    VMEM or the Python-unrolled component loops blow the trace.
+
+    Two budgets:
+
+    * **program size** — ``_tick_compute`` unrolls O((x+u)^2 + r(x+u))
+      component expressions per stage step; beyond ~256 the kernel
+      program and trace time grow quadratically with no VPU win (the
+      lane axis, not the component loops, carries the parallelism).
+    * **VMEM** — the whole tick working set (packed plan + warm + work
+      tensors for one LANES-wide sub-batch) must fit the ~16 MB scoped
+      VMEM; budget 14 MB (``COPRA_FUSED_VMEM_BUDGET`` overrides).
+    """
+    comp = (x + u) * (x + u + r)
+    if comp > 256:
+        raise ValueError(
+            f"fused stagewise kernel envelope exceeded: (x+u)*(x+u+r) = "
+            f"{comp} > 256 component expressions per stage (x={x}, u={u}, "
+            f"r={r}).  The kernel's Python-unrolled component loops are "
+            f"sized for small per-stage dimensions (the N=300 ZMP class); "
+            f"use make_stagewise_step(backend='xla') — optionally with "
+            f"parallel_scan=True for long horizons — instead.")
+    lo = _Layout(x, u, r)
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = (N + 1) * (lo.C + lo.W + lo.Kw) * LANES * itemsize
+    budget = float(os.environ.get("COPRA_FUSED_VMEM_BUDGET", 14e6))
+    if vmem > budget:
+        raise ValueError(
+            f"fused stagewise kernel VMEM envelope exceeded: the tick "
+            f"working set is {vmem / 1e6:.1f} MB for N={N}, x={x}, u={u}, "
+            f"r={r} ({LANES} lanes) vs the {budget / 1e6:.1f} MB scoped-"
+            f"VMEM budget.  Use make_stagewise_step(backend='xla') "
+            f"(optionally parallel_scan=True), or shorten the horizon.")
+
+
 def _lanes_pad(a: Array, Bp: int) -> Array:
     """Pad the LAST axis to ``Bp`` lanes by repeating lane 0 (keeps the
     padded lanes numerically well-behaved; they are sliced away)."""
@@ -518,6 +556,7 @@ def build_fused_plan(sqp, options) -> FusedStagewisePlan:
     N, x, u = sqp.horizon, sqp.xdim, sqp.udim
     r = sqp.nr_rows
     dt = sqp.A.dtype
+    check_fused_envelope(N, x, u, r, dt)
     lo = _Layout(x, u, r)
     rho = jnp.asarray(options.rho, dt)
     sigma = jnp.asarray(options.sigma, dt)
@@ -642,7 +681,8 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
     ``interpret`` defaults to True off-TPU (Pallas interpreter).
     """
     from ..qp.riccati import (_dual_scale, stagewise_dual_residual)
-    from ..qp.types import STATUS_MAX_ITER, STATUS_SOLVED, QPSolution
+    from ..qp.types import (STATUS_MAX_ITER, STATUS_PRIMAL_INFEASIBLE,
+                            STATUS_SOLVED, QPSolution)
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
@@ -744,6 +784,15 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
     conv = (r_prim <= eps) & (r_dual <= eps * jax.vmap(_dual_scale)(sqp))
     status = jnp.where(conv, STATUS_SOLVED, STATUS_MAX_ITER
                        ).astype(jnp.int32)
+    # provably-empty projection sets (crossed bounds) are primal
+    # infeasible per lane — same honesty as the XLA solve_stagewise
+    crossed = (jnp.any(sqp.xlb > sqp.xub, axis=(1, 2))
+               | jnp.any(sqp.ulb > sqp.uub, axis=(1, 2)))
+    if has_rows:
+        crossed = crossed | jnp.any(sqp.clo > sqp.chi, axis=(1, 2))
+    status = jnp.where(crossed,
+                       jnp.asarray(STATUS_PRIMAL_INFEASIBLE, jnp.int32),
+                       status)
     info = QPSolution(
         x=U.reshape(B0, -1),
         y=jnp.concatenate([yX.reshape(B0, -1), yU.reshape(B0, -1),

@@ -372,8 +372,11 @@ def test_stagewise_zmp_preview_vs_condensed():
     assert int(res.solution.status) == ct.STATUS_SOLVED
     sqp = from_mpc(base, costs, cons)
     assert sqp.nr_rows == 2            # full-size block-diag rows detected
+    # fixed-count: the 1e-4 match needs the full 300 iterations, not the
+    # first eps-criterion chunk the early exit would stop at
     X, U, info = solve_stagewise(sqp, ct.SolverOptions(max_iter=300,
-                                                       rho=1.0))
+                                                       rho=1.0,
+                                                       early_exit=False))
     assert int(info.status) == ct.STATUS_SOLVED
     np.testing.assert_allclose(np.asarray(U).ravel(),
                                np.asarray(res.control), atol=1e-4)
