@@ -91,8 +91,33 @@ def _time_ticks(step, plan, x0_seq, steps):
     return u, sol, times
 
 
+_EMITTED = []
+
+
 def _emit(out):
     print(json.dumps(out), flush=True)
+    _EMITTED.append(out)
+
+
+def _write_artifact(ran_configs):
+    """Persist the run as an in-repo machine artifact (VERDICT r2 #2):
+    one JSON line per bench line, gates included.  Partial runs
+    (``--config N``) merge into an existing artifact; full runs rewrite
+    it.  Default path ``BENCHALL.json`` (override: ``BENCHALL_OUT``, the
+    driver/round convention is ``BENCHALL_r0N.json``)."""
+    path = os.environ.get("BENCHALL_OUT",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), "BENCHALL.json"))
+    kept = []
+    if os.path.exists(path):
+        with open(path) as f:
+            kept = [json.loads(line) for line in f if line.strip()]
+        kept = [l for l in kept if l.get("config") not in ran_configs]
+    lines = sorted(kept + _EMITTED, key=lambda l: l.get("config", 0))
+    with open(path, "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+    print(f"# wrote {len(lines)} lines -> {path}", file=sys.stderr)
 
 
 def _double_integrator(T=0.1):
@@ -632,9 +657,12 @@ def main():
     which = None
     if "--config" in sys.argv:
         which = int(sys.argv[sys.argv.index("--config") + 1])
+    ran = set()
     for n, fn in sorted(CONFIGS.items()):
         if which is None or n == which:
             fn()
+            ran.add(n)
+    _write_artifact(ran)
 
 
 if __name__ == "__main__":
