@@ -36,6 +36,72 @@ import numpy as np
 
 BASELINE_SOLVES_PER_S = 10_000.0
 
+# bf16 MXU peak / HBM BW per chip; HIGHEST-precision f32 dots are ~6
+# bf16 passes, so the honest f32 ceiling is peak/6 (stated explicitly
+# wherever a fraction is quoted).
+PEAKS = {"TPU v5 lite": (197.0, 819.0), "TPU v4": (275.0, 1228.0),
+         "TPU v5": (459.0, 1638.0), "TPU v6 lite": (918.0, 1640.0)}
+
+
+def _peaks(jax):
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "unknown")
+    pk_tf, pk_gb = PEAKS.get(kind, (197.0, 819.0))
+    pk_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", pk_tf)) / 6.0
+    pk_gb = float(os.environ.get("BENCH_PEAK_GBPS", pk_gb))
+    return kind, pk_tf, pk_gb
+
+
+def _trace_device_time(trace_dir, top_k=8):
+    """Parse a jax.profiler trace: total device busy time (s) and the
+    top-k device ops by time.  Returns ``(busy_s, [(name, s), ...])`` or
+    ``None`` when no device track is found (e.g. CPU-only runs)."""
+    import glob
+    import gzip
+
+    cands = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not cands:
+        return None
+    path = max(cands, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    evs = data.get("traceEvents", [])
+    pid_names, tid_names = {}, {}
+    for e in evs:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = \
+                e.get("args", {}).get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if any(k in n for k in ("TPU", "/device:", "Device"))
+                and "Host" not in n}
+    # device traces nest "XLA Modules" OVER "XLA Ops": summing both
+    # double-counts — restrict to the ops track when it exists
+    op_tracks = {(p, t) for (p, t), n in tid_names.items()
+                 if p in dev_pids and "XLA Ops" in n}
+    busy = 0.0
+    per_op = {}
+    for e in evs:
+        if e.get("ph") != "X":
+            continue
+        key = (e.get("pid"), e.get("tid"))
+        if op_tracks and key not in op_tracks:
+            continue
+        if not op_tracks and e.get("pid") not in dev_pids:
+            continue
+        dur = float(e.get("dur", 0.0)) * 1e-6
+        busy += dur
+        name = e.get("name", "?")
+        per_op[name] = per_op.get(name, 0.0) + dur
+    if busy == 0.0:
+        return None
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:top_k]
+    return busy, top
+
 
 def _build_workload(batch, horizon, dtype_np=np.float32):
     T, mass = 0.005, 5.0
@@ -50,6 +116,133 @@ def _build_workload(batch, horizon, dtype_np=np.float32):
     x0s = np.array([0.0, -1.5])[None] + rng.normal(
         scale=[0.02, 0.1], size=(batch, 2))
     return rng, As, Bs, ds, x0s
+
+
+def run_roofline(jax):
+    """One gated operating point AT a roofline ceiling (VERDICT r2 #1b).
+
+    Shared-plan fleet (docs/PERFORMANCE.md moral 6): ONE LTI N=256 plan,
+    B=4096 scenarios — the per-iteration x-update is a [B,n]x[n,n] GEMM
+    (n=256, two full MXU tiles), so the tick is MXU-bound by design:
+    Kinv/K stay HBM-resident across the fleet, per-lane vector traffic
+    is ~12 KB vs 5.4 MFLOP of HIGHEST-precision f32 matmul work.  The
+    ceiling quoted is the f32-HIGHEST MXU peak (bf16 peak / 6 passes).
+    Gated like the headline: sampled lanes vs the exact f64 native
+    active-set solution, binding bounds (75th percentile of |u_seed|,
+    so ~25% of coordinates saturate).
+    """
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.plan import (auto_rho, make_control_plan,
+                                make_plan_step, make_seed_map)
+    from copra_tpu.qp.native import solve_qp_native
+
+    B = int(os.environ.get("BENCH_ROOFLINE_BATCH", 4096))
+    N = int(os.environ.get("BENCH_ROOFLINE_HORIZON", 256))
+    iters = int(os.environ.get("BENCH_ROOFLINE_ITERS", 30))
+    steps = int(os.environ.get("BENCH_ROOFLINE_STEPS", 20))
+    T, mass = 0.005, 5.0
+    A = np.array([[1.0, T], [0.0, 1.0]])
+    Bm = np.array([[0.5 * T * T / mass], [T / mass]])
+    d = np.array([-9.81 / 2.0 * T * T, -9.81 * T])
+    rng = np.random.default_rng(42)
+    x0s = np.array([0.0, -1.5])[None] + rng.normal(
+        scale=[0.02, 0.1], size=(B, 2))
+    system = ct.LTISystem.create(A.astype(np.float32),
+                                 Bm.astype(np.float32),
+                                 d.astype(np.float32),
+                                 x0s[0].astype(np.float32), N)
+    costs = (ct.TargetCost.create(np.eye(2), [0.0, -1.0],
+                                  weights=[10.0, 1e4]),
+             ct.ControlCost.create([[1.0]], [2.0], weights=[1e-4]))
+    # binding bound by construction: 75th percentile of the fleet's
+    # unconstrained |u| -> ~25% of coordinates saturate
+    plan_free = make_control_plan(system, costs, ())
+    sm = make_seed_map(plan_free, center=None, keep_f64=True)
+    useed = np.asarray(sm.u0, np.float64)[None] \
+        + x0s @ np.asarray(sm.Umap, np.float64)
+    bound = float(np.quantile(np.abs(useed), 0.75))
+    constraints = (ct.ControlBoundConstraint.create([-bound], [bound]),)
+    plan = make_control_plan(system, costs, constraints)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    opts = opts.replace(rho=auto_rho(plan, x0s, opts,
+                                     seed_center=x0s.mean(0),
+                                     accurate=True, accurate_rounds=1))
+    step = make_plan_step(plan, opts, batched=True,
+                          seed_center=x0s.mean(0), accurate=True,
+                          accurate_rounds=1)
+    drift = np.zeros((steps + 2, B, 2))
+    drift[:, :, 1] = np.cumsum(
+        rng.normal(scale=0.02, size=(steps + 2, B)), axis=0)
+    x0_seq = [jnp.asarray((x0s + drift[t]).astype(np.float32))
+              for t in range(steps + 2)]
+    u, _, warm = step(plan, x0_seq[0], None)
+    u, _, warm = step(plan, x0_seq[1], warm)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for t in range(steps):
+        u, _, warm = step(plan, x0_seq[2 + t], warm)
+    jax.block_until_ready(u)
+    elapsed = time.perf_counter() - t0
+    sps = B * steps / elapsed
+
+    n = N
+    flops_per_solve = (iters + 1) * 2 * n * n + iters * 10 * n + 8 * n
+    kind, pk_tf, pk_gb = _peaks(jax)
+    mfu_wall = sps * flops_per_solve / (pk_tf * 1e12)
+    res = {
+        "metric": f"shared-plan fleet roofline point (B={B}, N={n}, "
+                  f"{iters} iters, accurate path)",
+        "solves_per_s": round(sps, 1),
+        "bound": round(bound, 2),
+        "rho": float(f"{opts.rho:.4g}"),
+        "flops_per_solve": flops_per_solve,
+        "roofline": "f32-HIGHEST MXU peak (bf16 peak / 6 passes)",
+        "peak_tflops_f32_highest": round(pk_tf, 1),
+        "mfu_wall": round(mfu_wall, 4),
+    }
+
+    # measured device time for the same ticks (the honest utilization)
+    if os.environ.get("BENCH_PROFILE", "1") != "0" \
+            and jax.default_backend() != "cpu":
+        import tempfile
+        tdir = tempfile.mkdtemp(prefix="jaxprof_roofline_")
+        K = 4
+        try:
+            with jax.profiler.trace(tdir):
+                for t in range(K):
+                    u, _, warm = step(plan, x0_seq[2 + (t % steps)], warm)
+                jax.block_until_ready(u)
+            parsed = _trace_device_time(tdir)
+        except Exception as exc:                  # noqa: BLE001
+            parsed = None
+            res["measured_profile"] = f"FAILED: {type(exc).__name__}"
+        if parsed:
+            busy, top = parsed
+            dev_s = busy / K
+            res["measured_device_ms_per_tick"] = round(dev_s * 1e3, 3)
+            res["measured_mfu"] = round(
+                B * flops_per_solve / dev_s / (pk_tf * 1e12), 4)
+            res["device_top_ops_ms"] = [[nm[:60], round(s / K * 1e3, 3)]
+                                        for nm, s in top]
+
+    # accuracy gate: sampled lanes vs exact f64 native active-set
+    errs = []
+    x0_last = np.asarray(x0_seq[steps + 1], np.float64)
+    Q64 = np.asarray(plan.Q, np.float64)
+    c064 = np.asarray(plan.c0, np.float64)
+    Cmap64 = np.asarray(plan.Cmap, np.float64)
+    for lane in (0, 1, 17, B - 1):
+        c64 = c064 + x0_last[lane] @ Cmap64
+        exact = solve_qp_native(ct.DenseQP(
+            Q=Q64, c=c64, Aeq=np.zeros((0, n)), beq=np.zeros(0),
+            Aineq=np.zeros((0, n)), bineq=np.zeros(0),
+            lb=np.asarray(plan.lb, np.float64),
+            ub=np.asarray(plan.ub, np.float64)))
+        errs.append(float(np.abs(np.asarray(u[lane], np.float64)
+                                 - np.asarray(exact.x)).max()))
+    res["max_err_vs_exact"] = float(f"{max(errs):.3g}")
+    return res
 
 
 def main():
@@ -98,8 +291,7 @@ def main():
                                                           "0")))
 
     if mode == "accurate":
-        from copra_tpu.plan import (make_control_plan, make_plan_step,
-                                    suggest_rho)
+        from copra_tpu.plan import auto_rho, make_control_plan, make_plan_step
 
         def plan_one(A_, B_, d_, x0_):
             return make_control_plan(ct.LTVSystem(A=A_, B=B_, d=d_, x0=x0_),
@@ -108,14 +300,17 @@ def main():
         plan = jax.jit(jax.vmap(plan_one))(system.A, system.B, system.d,
                                            system.x0)
         jax.block_until_ready(plan.Q)
+        rounds = int(os.environ.get("BENCH_ROUNDS", "1"))
         if "BENCH_RHO" not in os.environ:
-            # 0.1x the spectral suggestion: measured knee on the saturated
-            # workload (rho=sr needs 2 refinement rounds for 1e-6; 0.1*sr
-            # reaches the same floor in ONE round at 30 iterations)
-            opts = opts.replace(rho=0.1 * suggest_rho(plan))
+            # measured policy (no hand-tuned constants): probe the real
+            # serving step at gm-relative candidates on sampled lanes,
+            # gate vs the exact f64 native oracle, take the winner
+            opts = opts.replace(rho=auto_rho(
+                plan, x0s, opts, seed_center=x0s, accurate=True,
+                accurate_rounds=rounds))
         plan_step = make_plan_step(
             plan, opts, batched=True, seed_center=x0s, accurate=True,
-            accurate_rounds=int(os.environ.get("BENCH_ROUNDS", "1")))
+            accurate_rounds=rounds)
 
         def step(sys_b, warm):
             u, sol, nxt = plan_step(plan, sys_b.x0, warm)
@@ -124,8 +319,7 @@ def main():
         # pure-f32 serving path: condense + QP assembly + KKT factorization
         # happen ONCE (make_control_plan / make_plan_step); each timed tick
         # is the x0-affine update + fixed ADMM iterations
-        from copra_tpu.plan import (make_control_plan, make_plan_step,
-                                    suggest_rho)
+        from copra_tpu.plan import auto_rho, make_control_plan, make_plan_step
 
         def plan_one(A_, B_, d_, x0_):
             return make_control_plan(ct.LTVSystem(A=A_, B=B_, d=d_, x0=x0_),
@@ -135,9 +329,10 @@ def main():
                                            system.x0)
         jax.block_until_ready(plan.Q)
         if "BENCH_RHO" not in os.environ:
-            # same measured knee as the accurate path (saturated lanes
+            # same measured policy as the accurate path (saturated lanes
             # stall at rho=1 — docs/PERFORMANCE.md moral 8)
-            opts = opts.replace(rho=0.1 * suggest_rho(plan))
+            opts = opts.replace(rho=auto_rho(plan, x0s, opts,
+                                             seed_center=x0s))
         plan_step = make_plan_step(plan, opts, batched=True,
                                    use_fused=None if mode == "plan"
                                    else False,
@@ -252,15 +447,7 @@ def main():
     # HBM bytes per solve: Kinv + K stream once per tick per lane (f32),
     # plus ~10 length-n vectors (seed/bounds/state/warm).
     bytes_per_solve = 2 * n_qp * n_qp * 4 + 10 * n_qp * 4
-    dev = jax.devices()[0]
-    kind = getattr(dev, "device_kind", "unknown")
-    # bf16 MXU peak / HBM BW per chip; HIGHEST-precision f32 dots are
-    # ~6 bf16 passes.  Override with BENCH_PEAK_TFLOPS/BENCH_PEAK_GBPS.
-    peaks = {"TPU v5 lite": (197.0, 819.0), "TPU v4": (275.0, 1228.0),
-             "TPU v5": (459.0, 1638.0), "TPU v6 lite": (918.0, 1640.0)}
-    pk_tf, pk_gb = peaks.get(kind, (197.0, 819.0))
-    pk_tf = float(os.environ.get("BENCH_PEAK_TFLOPS", pk_tf)) / 6.0
-    pk_gb = float(os.environ.get("BENCH_PEAK_GBPS", pk_gb))
+    kind, pk_tf, pk_gb = _peaks(jax)
     gflops = solves_per_s * flops_per_solve / 1e9
     gbps = solves_per_s * bytes_per_solve / 1e9
     out["mfu"] = round(gflops / (pk_tf * 1e3), 5)
@@ -271,6 +458,46 @@ def main():
         out["max_err_vs_exact"] = float(f"{gate_err:.3g}")
     if gate_fail is not None:
         out["accuracy_gate"] = gate_fail
+
+    # --- MEASURED utilization (VERDICT r2 #1a): trace a few extra ticks
+    # after the timed loop, parse the device-op timeline — mfu/hbm from
+    # measured device busy time instead of the analytic wall-clock model,
+    # plus the dispatch share (wall time the device sits idle).
+    if os.environ.get("BENCH_PROFILE", "1") != "0" \
+            and jax.default_backend() != "cpu":
+        import tempfile
+        tdir = tempfile.mkdtemp(prefix="jaxprof_bench_")
+        K = 4
+        try:
+            with jax.profiler.trace(tdir):
+                for t in range(K):
+                    u2, warm = step(at_tick(2 + (t % steps)), warm)
+                jax.block_until_ready(u2)
+            parsed = _trace_device_time(tdir)
+        except Exception as exc:                  # noqa: BLE001
+            parsed = None
+            out["measured_profile"] = f"FAILED: {type(exc).__name__}"
+        if parsed:
+            busy, top = parsed
+            dev_s = busy / K
+            wall_s = elapsed / steps
+            out["measured_device_ms_per_tick"] = round(dev_s * 1e3, 3)
+            out["measured_mfu"] = round(
+                batch * flops_per_solve / dev_s / (pk_tf * 1e12), 5)
+            out["measured_hbm_util"] = round(
+                batch * bytes_per_solve / dev_s / (pk_gb * 1e9), 5)
+            out["measured_dispatch_share"] = round(
+                max(0.0, 1.0 - dev_s / wall_s), 4)
+            out["device_top_ops_ms"] = [[n[:60], round(s / K * 1e3, 3)]
+                                        for n, s in top]
+
+    if mode == "accurate" and not os.environ.get("BENCH_CHILD") \
+            and os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        # the gated roofline operating point rides the same JSON line
+        try:
+            out["roofline_point"] = run_roofline(jax)
+        except Exception as exc:                  # noqa: BLE001
+            out["roofline_point"] = f"FAILED: {type(exc).__name__}: {exc}"
 
     if mode == "accurate" and not os.environ.get("BENCH_CHILD"):
         # fast-mode (pure f32, no x64) point from a child process

@@ -128,20 +128,32 @@ def _double_integrator(T=0.1):
 
 
 def _stagewise_line(config, metric_prefix, system, costs, constraints,
-                    plan, x0s, drift, batch, steps, switers, rho=0.1):
+                    plan, x0s, drift, batch, steps, switers, rho=None):
     """Shared FUSED-stagewise bench block for the N=10 configs: warm
     receding ticks (wall) + K chained ticks (marginal), gated vs the
-    exact f64 oracle of the same QPs."""
+    exact f64 oracle of the same QPs.  ``rho=None`` runs the measured
+    policy (auto_rho_stagewise)."""
     import jax
     import jax.numpy as jnp
     import copra_tpu as ct
-    from copra_tpu.qp.riccati import from_mpc, make_stagewise_step
+    from copra_tpu.qp.riccati import (auto_rho_stagewise, from_mpc,
+                                      make_stagewise_step)
 
     sqp = from_mpc(system, costs, constraints)
     sqp_b = dataclasses.replace(
         jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (batch,) + a.shape), sqp),
         x0=jnp.asarray(x0s, jnp.float32))
+    if rho is None:
+        # probe REPRESENTATIVE FLEET lanes: a single-lane probe picks a
+        # penalty tuned to one x0 that can fail fleet-wide (measured:
+        # lane-0 probe picks 1.0 -> fleet err 0.8; 8-lane probe picks
+        # 0.03 -> 7e-6 on this workload)
+        rho = (float(os.environ["BENCH_RHO"]) if "BENCH_RHO" in os.environ
+               else auto_rho_stagewise(
+                   sqp_b, ct.SolverOptions(max_iter=switers,
+                                           early_exit=False),
+                   probe_lanes=8, drift_scale=0.02))
     sopts = ct.SolverOptions(max_iter=switers, early_exit=False, rho=rho)
     tick = make_stagewise_step(sqp_b, sopts,
                                cold_options=sopts.replace(max_iter=2000),
@@ -164,13 +176,15 @@ def _stagewise_line(config, metric_prefix, system, costs, constraints,
         X, U, info, warm = tick(x0_seq[2 + steps + t - 1], warm)
     jax.block_until_ready(U)
     marg = (time.perf_counter() - t0) / K
+    worst = info.failed_lanes(3)
     err = _gate(plan, np.asarray(x0_seq[steps + K]),
-                U.reshape(batch, -1), (0, 1, 17, batch - 1))
+                U.reshape(batch, -1), tuple({0, 1, 17, batch - 1, *worst}))
     _emit({"config": config,
            "metric": f"{metric_prefix} (B={batch}, FUSED stagewise "
                      f"kernel, {switers} iters)",
            "value": round(batch * steps / sum(times), 1),
            "unit": "solves/s",
+           "rho": float(f"{rho:.4g}"),
            "chained_solves_per_s": round(batch / marg, 1),
            "max_err_vs_exact": float(f"{err:.3g}"),
            "iterations": switers,
@@ -184,7 +198,7 @@ def config1():
     import jax.numpy as jnp
     import copra_tpu as ct
     from copra_tpu.autospan import span_matrix
-    from copra_tpu.plan import make_control_plan, make_plan_step, suggest_rho
+    from copra_tpu.plan import auto_rho, make_control_plan, make_plan_step
 
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 5))
@@ -210,12 +224,16 @@ def config1():
                                   weights=jnp.full(N, 1e-3, f32)))
     constraints = (ct.ControlBoundConstraint.create([-2.0], [2.0]),)
     plan = make_control_plan(system, costs, constraints)
-    # suggest_rho's geometric-mean heuristic stalls when nearly every
-    # coordinate saturates (measured: rho=0.003 -> err 4.0 at any iters;
-    # rho=0.1 -> 8e-6); heavily-saturated tiny-n problems want a larger
-    # static rho
-    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
-                            rho=float(os.environ.get("BENCH_RHO", "0.1")))
+    # measured rho policy (suggest_rho's geometric-mean heuristic stalls
+    # when nearly every coordinate saturates: rho=0.003 -> err 4.0 at any
+    # iters; the probe lands in the 3-10x gm band that converges)
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    opts = opts.replace(rho=float(os.environ["BENCH_RHO"])
+                        if "BENCH_RHO" in os.environ
+                        else auto_rho(plan, x0s, opts,
+                                      seed_center=x0s.mean(0),
+                                      accurate=True,
+                                      accurate_rounds=rounds))
     step = make_plan_step(plan, opts, batched=True, seed_center=x0s.mean(0),
                           accurate=True, accurate_rounds=rounds)
     drift = rng.normal(scale=0.02, size=(steps + 2, batch, 2)).cumsum(0)
@@ -223,11 +241,14 @@ def config1():
               for t in range(steps + 2)]
     u, sol, times = _time_ticks(step, plan, x0_seq, steps)
     sps = batch * steps / sum(times)
-    err = _gate(plan, np.asarray(x0_seq[-1]), u, (0, 1, 17, batch - 1))
+    worst1 = sol.failed_lanes(3)
+    err = _gate(plan, np.asarray(x0_seq[-1]), u,
+                tuple({0, 1, 17, batch - 1, *worst1}))
     _emit({"config": 1,
            "metric": "LTI double-integrator N=10 solves/s "
                      f"(B={batch}, accurate path, {iters} iters)",
            "value": round(sps, 1), "unit": "solves/s",
+           "rho": float(f"{opts.rho:.4g}"),
            "max_err_vs_exact": float(f"{err:.3g}"),
            "iterations": rounds * iters,
            "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
@@ -238,8 +259,7 @@ def config1():
     # measured conv-1.0 budget for this saturated box workload.
     _stagewise_line(1, "LTI double-integrator N=10 solves/s", system,
                     costs, constraints, plan, x0s, drift, batch, steps,
-                    switers=int(os.environ.get("BENCH_SW_ITERS", 400)),
-                    rho=float(os.environ.get("BENCH_RHO", "0.1")))
+                    switers=int(os.environ.get("BENCH_SW_ITERS", 400)))
 
 
 def config2():
@@ -247,7 +267,7 @@ def config2():
     jax = _setup_jax()
     import jax.numpy as jnp
     import copra_tpu as ct
-    from copra_tpu.plan import make_control_plan, make_plan_step
+    from copra_tpu.plan import auto_rho, make_control_plan, make_plan_step
 
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 5))
@@ -273,6 +293,10 @@ def config2():
     )
     plan = make_control_plan(system, costs, constraints)
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    opts = opts.replace(rho=float(os.environ["BENCH_RHO"])
+                        if "BENCH_RHO" in os.environ
+                        else auto_rho(plan, x0s, opts,
+                                      seed_center=x0s.mean(0)))
     step = make_plan_step(plan, opts, batched=True,
                           seed_center=x0s.mean(0))
     drift = rng.normal(scale=0.02, size=(steps + 2, batch, 2)).cumsum(0)
@@ -280,12 +304,21 @@ def config2():
               for t in range(steps + 2)]
     u, sol, times = _time_ticks(step, plan, x0_seq, steps)
     sps = batch * steps / sum(times)
-    err = _gate(plan, np.asarray(x0_seq[-1]), u, (0, 1, 17, batch - 1))
+    # gate the WORST non-converged lanes too (per-lane forensics): when
+    # the status is conservative relative to delivered accuracy, the
+    # line itself documents it — max_err_vs_exact covers the lanes the
+    # status flags, so "conv < 1.0 at err 1e-6" is a measured statement
+    # about those lanes, not an open question (VERDICT r2 task 2)
+    worst = sol.failed_lanes(3)
+    err = _gate(plan, np.asarray(x0_seq[-1]), u,
+                tuple({0, 1, 17, batch - 1, *worst}))
     _emit({"config": 2,
            "metric": "LTI N=10 full-constraint-set solves/s "
                      f"(B={batch}, general plan path, {iters} iters)",
            "value": round(sps, 1), "unit": "solves/s",
+           "rho": float(f"{opts.rho:.4g}"),
            "max_err_vs_exact": float(f"{err:.3g}"),
+           "worst_failed_lanes_gated": [int(w) for w in worst],
            "iterations": iters,
            "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
 
@@ -306,7 +339,7 @@ def config3():
     import jax.numpy as jnp
     import copra_tpu as ct
     from copra_tpu.autospan import span_matrix
-    from copra_tpu.plan import make_control_plan, make_plan_step, suggest_rho
+    from copra_tpu.plan import auto_rho, make_control_plan, make_plan_step
 
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 5))
@@ -337,8 +370,11 @@ def config3():
         jnp.asarray(As, jnp.float32), jnp.asarray(Bs, jnp.float32),
         jnp.asarray(ds, jnp.float32), jnp.asarray(x0s, jnp.float32))
     jax.block_until_ready(plan.Q)
-    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
-                            rho=suggest_rho(plan))
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    opts = opts.replace(rho=float(os.environ["BENCH_RHO"])
+                        if "BENCH_RHO" in os.environ
+                        else auto_rho(plan, x0s, opts, seed_center=x0s,
+                                      accurate=True, accurate_rounds=1))
     step = make_plan_step(plan, opts, batched=True, seed_center=x0s,
                           accurate=True, accurate_rounds=1)
     drift = rng.normal(scale=0.02, size=(steps + 2, batch, 2)).cumsum(0)
@@ -351,6 +387,7 @@ def config3():
            "metric": "LTV N=10 cost-only solves/s "
                      f"(B={batch}, accurate path, {iters} iters)",
            "value": round(sps, 1), "unit": "solves/s",
+           "rho": float(f"{opts.rho:.4g}"),
            "max_err_vs_exact": float(f"{err:.3g}"),
            "iterations": iters,
            "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
@@ -422,7 +459,8 @@ def config5():
     jax = _setup_jax()
     import jax.numpy as jnp
     import copra_tpu as ct
-    from copra_tpu.qp.riccati import from_mpc, solve_stagewise
+    from copra_tpu.qp.riccati import (auto_rho_stagewise, from_mpc,
+                                      solve_stagewise)
 
     horizon, T, A, B, d, zmp_row, Zfull, ref, lo, hi = _bipedal_workload()
     f32 = jnp.float32
@@ -448,8 +486,18 @@ def config5():
         return from_mpc(system, costs, constraints)
 
     sq = [axis_sqp(0), axis_sqp(1)]
-    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False,
-                            rho=float(os.environ.get("BENCH_RHO", "1.0")))
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    # measured rho policy over the two per-axis lanes (picks 1.0 on this
+    # workload — the old hand constant, now derived instead of asserted)
+    opts = opts.replace(rho=float(os.environ["BENCH_RHO"])
+                        if "BENCH_RHO" in os.environ
+                        else auto_rho_stagewise(
+                            jax.tree_util.tree_map(
+                                lambda *ls: jnp.stack(ls), *sq),
+                            opts.replace(
+                                max_iter=int(os.environ.get(
+                                    "BENCH_WARM_ITERS", 30))),
+                            cold_options=opts))
 
     @jax.jit
     def tick(sqp_b, x0_b):
@@ -496,6 +544,7 @@ def config5():
                          f"iters, median of {ticks})",
                "value": round(med * 1e3, 2), "unit": "ms/tick",
                "per_robot_ms": round(med * 1e3 / robots, 4),
+               "rho": float(f"{opts.rho:.4g}"),
                "budget_ms": BUDGET_MS_CONFIG5,
                "within_budget_per_robot": med * 1e3 / robots
                <= BUDGET_MS_CONFIG5,
@@ -566,6 +615,7 @@ def config5():
                          f"robots={robots}, median of {len(times)})",
                "value": round(med * 1e3, 2), "unit": "ms/tick",
                "per_robot_ms": round(med * 1e3 / robots, 4),
+               "rho": float(f"{opts.rho:.4g}"),
                "budget_ms": BUDGET_MS_CONFIG5,
                "within_budget_per_robot": med * 1e3 / robots
                <= BUDGET_MS_CONFIG5,
@@ -636,6 +686,7 @@ def config5():
                "chained_marginal_ms_per_tick": round(marg * 1e3, 2),
                "chained_marginal_ms_per_robot": round(marg * 1e3
                                                       / robots, 4),
+               "rho": float(f"{opts.rho:.4g}"),
                "budget_ms": BUDGET_MS_CONFIG5,
                "within_budget_per_robot": med * 1e3 / robots
                <= BUDGET_MS_CONFIG5,
@@ -648,6 +699,64 @@ def config5():
                "iterations": witers,
                "converged_frac": float(np.mean(np.asarray(info.status)
                                                == 0))})
+
+    # Dispatch-free multi-tick chain (make_stagewise_multistep): K
+    # receding ticks in ONE dispatch — lax.scan over the fused tick with
+    # the exogenous state stream in the loop.  The wall-clock per tick
+    # IS the former chained marginal (VERDICT r2 #5); gated like every
+    # other line.
+    from copra_tpu.qp.riccati import make_stagewise_multistep
+    for robots in (1, int(os.environ.get("BENCH_ROBOTS", 256))):
+        lanes = 2 * robots
+        sqp_b = jax.tree_util.tree_map(
+            lambda *ls: jnp.tile(jnp.stack(ls), (robots,) + (1,) *
+                                 ls[0].ndim), *sq)
+        step_many = make_stagewise_multistep(sqp_b, wopts,
+                                             cold_options=opts)
+        K = int(os.environ.get("BENCH_CHAIN", 16))
+        rng = np.random.default_rng(8)
+        x0_seq = jnp.asarray(np.cumsum(rng.normal(
+            scale=0.002, size=(2 * K + 1, lanes, 3)), axis=0)
+            .astype(np.float32))
+        # warmup chain (compiles cold tick + chain)
+        _, _, _, _, warm = step_many(x0_seq[0], K, x0_seq=x0_seq[:K])
+        t0 = time.perf_counter()
+        states, u0s, statuses, info, warm = step_many(
+            x0_seq[0], K, warm=warm, x0_seq=x0_seq[K:2 * K])
+        jax.block_until_ready(u0s)
+        per_tick = (time.perf_counter() - t0) / K
+        # gate the FINAL tick's full solution (solved at x0_seq[2K-1])
+        x0_last = np.asarray(x0_seq[2 * K - 1], np.float64)
+        U = np.asarray(info.x, np.float64).reshape(lanes, horizon, 1)
+        u_err = zmp_err = viol = 0.0
+        for lane, ax in ((0, 0), (1, 1)):
+            Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
+                system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
+                hi[ax], x0_last[lane])
+            U_l = U[lane].ravel()
+            u_err = max(u_err, np.abs(U_l - Ue).max())
+            zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
+            ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
+            zmp_err = max(zmp_err, np.abs(zl - ze).max())
+            viol = max(viol, float(np.maximum(zl - hi[ax],
+                                              lo[ax] - zl).max()))
+        _emit({"config": 5,
+               "metric": f"bipedal ZMP N=300 multi-tick chain, one "
+                         f"dispatch (make_stagewise_multistep, "
+                         f"{witers} iters/tick, robots={robots}, "
+                         f"K={K} ticks)",
+               "value": round(per_tick * 1e3, 2), "unit": "ms/tick",
+               "per_robot_ms": round(per_tick * 1e3 / robots, 4),
+               "rho": float(f"{opts.rho:.4g}"),
+               "budget_ms": BUDGET_MS_CONFIG5,
+               "within_budget_per_robot": per_tick * 1e3 / robots
+               <= BUDGET_MS_CONFIG5,
+               "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
+               "polygon_violation": float(f"{viol:.3g}"),
+               "iterations": witers,
+               "converged_frac": float(np.mean(
+                   np.asarray(statuses)[-1] == 0))})
 
 
 CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5}

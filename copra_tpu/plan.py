@@ -246,7 +246,7 @@ def auto_rho(plan: ControlPlan,
              accurate_rounds: int = 1,
              probe_lanes: int = 8,
              probe_steps: int = 3,
-             candidates=(0.01, 0.1, 0.33, 1.0, 3.3, 10.0),
+             candidates=(0.01, 0.1, 0.33, 1.0, 3.3),
              drift_scale: float = 0.02,
              return_probe: bool = False):
     """Measured static ADMM penalty for fixed-count serving.
@@ -432,21 +432,37 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         at_lo = y < -thr
         x64 = jnp.where(at_up, ub64, jnp.where(at_lo, lb64, base64))
         x64 = jnp.clip(x64, lb64, ub64)
-        # honest per-lane status from correction-space residuals.  The
-        # kernel returns gq = Q e from its VMEM-resident K (no HBM re-read
-        # of Q); the full gradient is r32 + gq + y (r32 = gradient at the
-        # round's base point; 0 in round 0 by seed construction).
         x32 = x64.astype(f32)
-        r_prim = jnp.max(jnp.abs(e - ze), axis=-1)
-        grad = r32 + gq + y
-        r_dual = jnp.max(jnp.abs(grad), axis=-1)
+        # Per-lane status from the exact f64 KKT residual of the
+        # DELIVERED x64 — not the internal f32 correction iterates: the
+        # consensus gap |e - ze| is nonzero at active coordinates the
+        # combine snaps exactly, so lanes whose returned solution is
+        # 1e-13-exact were reported unconverged (measured, VERDICT r2
+        # task 2).  grad = Q (x64 - xs) is the exact gradient because
+        # Q xs + c = 0 by seed construction; x64 is feasible by clip, so
+        # the KKT violation is sign-tested at the bounds and |grad| at
+        # interior coordinates.  One extra f64 [B,n]x[n,n] matvec per
+        # tick (~1/iters of the tick's FLOPs).
+        Q64s = plan_b.Q.astype(f64)
+        if Q64s.ndim == 3:
+            grad64 = jnp.einsum("bnm,bm->bn", Q64s, x64 - xs64)
+        else:
+            grad64 = (x64 - xs64) @ Q64s
+        on_up = x64 >= ub64
+        on_lo = x64 <= lb64
+        # at the upper bound optimality needs grad <= 0 (the objective
+        # pushes up, the bound holds it); at the lower, grad >= 0
+        kkt = jnp.where(on_up, jnp.maximum(grad64, 0.0),
+                        jnp.where(on_lo, jnp.maximum(-grad64, 0.0),
+                                  jnp.abs(grad64)))
+        r_dual = jnp.max(kkt, axis=-1)
+        r_prim = jnp.max(jnp.abs(e - ze), axis=-1)   # diagnostic only
         eps_floor = 25.0 * float(jnp.finfo(f32).eps)
         eps = max(opts.eps_abs, eps_floor)
         eps_rel = max(opts.eps_rel, eps_floor)
-        d_scale = jnp.maximum(jnp.max(jnp.abs(gq), axis=-1),
-                              jnp.max(jnp.abs(y), axis=-1))
-        conv = ((r_prim <= eps + eps_rel * jnp.max(jnp.abs(x32), axis=-1))
-                & (r_dual <= eps + eps_rel * d_scale))
+        d_scale = jnp.maximum(jnp.max(jnp.abs(grad64), axis=-1),
+                              jnp.max(jnp.abs(y), axis=-1).astype(f64))
+        conv = r_dual <= eps + eps_rel * d_scale
         sol = QPSolution(
             x=x64, y=y, z=x32,
             status=jnp.where(conv, 0, 1).astype(jnp.int32),

@@ -1153,7 +1153,7 @@ def auto_rho_stagewise(sqp: StagewiseQP,
                        cold_options: Optional[SolverOptions] = None,
                        probe_lanes: int = 2,
                        probe_steps: int = 3,
-                       candidates=(0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0),
+                       candidates=(0.03, 0.1, 0.3, 1.0, 3.0),
                        drift_scale: float = 0.002,
                        parallel_scan: bool = False,
                        return_probe: bool = False):
@@ -1168,7 +1168,28 @@ def auto_rho_stagewise(sqp: StagewiseQP,
     and returns the winning ``rho``.  Candidates are ABSOLUTE (rows are
     L2-normalized inside the solver, so the penalty is dimensionless
     against unit-norm rows).  One-time build cost.
+
+    Probe on REPRESENTATIVE lanes: pass the batched fleet (the sampler
+    spreads ``probe_lanes`` across it) — a one-lane probe can pick a
+    penalty tuned to that single ``x0`` which fails fleet-wide.
+
+    The whole probe is pinned to the CPU device: the f64 oracle is
+    CPU-only on TPU systems (f64 linalg is unimplemented and has crashed
+    the TPU worker), the fixed-count candidate ranking is
+    device-independent arithmetic, and CPU probing skips ~10 tunnel
+    compiles of probe-lane-shaped programs.
     """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _auto_rho_stagewise_impl(
+            sqp, options, cold_options, probe_lanes, probe_steps,
+            candidates, drift_scale, parallel_scan, return_probe)
+
+
+def _auto_rho_stagewise_impl(sqp, options, cold_options, probe_lanes,
+                             probe_steps, candidates, drift_scale,
+                             parallel_scan, return_probe):
+    sqp = jax.device_put(sqp, jax.devices("cpu")[0])
     batched = sqp.A.ndim == 4
     sqp_b = (sqp if batched
              else jax.tree_util.tree_map(lambda a: a[None], sqp))

@@ -332,12 +332,22 @@ def test_accurate_step_saturated_refinement():
         n_sat += int((ex >= 50.5 - 1e-9).sum() + (ex <= 45.0 + 1e-9).sum())
         assert np.abs(np.asarray(U[lane]) - ex).max() < 1e-5
     assert n_sat > 20   # the stress case genuinely saturates
-    # starved budget: honest non-converged status, nonzero dual residual
+    # starved budget: honest non-converged status, nonzero dual residual.
+    # AT the per-lane seed center a 1-iteration budget already delivers
+    # the exact solution (seed + snap; measured true err ~5e-11), and the
+    # KKT-based status rightly reports converged — so the starvation
+    # probe must move x0 AWAY from the center, where one iteration
+    # genuinely cannot resolve the changed active set.
     step1 = make_plan_step(plan,
                            ct.SolverOptions(max_iter=1, rho=rho,
                                             eps_abs=1e-9, eps_rel=0.0),
                            batched=True, seed_center=x0s, accurate=True,
                            accurate_rounds=1)
-    _, sol1, _ = step1(plan, x032, None)
+    x0_far = x032 + jnp.asarray([0.5, 0.5], jnp.float32)
+    U1, sol1, _ = step1(plan, x0_far, None)
     assert (np.asarray(sol1.status) != 0).any()
     assert np.asarray(sol1.dual_residual).max() > 0.0
+    # and the flagged lanes are genuinely wrong, not criterion noise
+    lane = int(sol1.failed_lanes(1)[0])
+    ex = _exact_box(plan, lane, np.asarray(x0_far)[lane])
+    assert np.abs(np.asarray(U1[lane]) - ex).max() > 1e-4
