@@ -155,6 +155,53 @@ def default_sub_batch(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
+                                             "rho", "refine"))
+@highest_precision
+def xla_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,
+                 x0: Array, y0: Array, z0: Array, *, n_iter: int,
+                 sigma: float, alpha: float, rho: float,
+                 refine: int = 0) -> Tuple[Array, Array, Array, Array]:
+    """Pure-XLA twin of :func:`fused_admm_box` (same update order).
+
+    For SHARED operators (``Kinv``/``K`` rank-2) the x-update lowers to a
+    real ``[B, n] x [n, n]`` GEMM — the MXU-saturating form a shared-plan
+    fleet wants (the Pallas kernel's per-lane matvec layout tops out at
+    the matvec issue rate; measured 2.2% MFU at B=4096/n=256, vs GEMM
+    rates here).  Per-lane rank-3 operators lower to XLA batched dots
+    (the ``qp.admm`` regime).  Same math, the fused kernel's oracle
+    tests apply symmetrically.
+    """
+    shared = Kinv.ndim == 2
+    rho_inv = 1.0 / rho
+    oma = 1.0 - alpha
+
+    def mv(V, M):
+        if shared:
+            return jax.lax.dot_general(
+                V, M, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION)
+        return jnp.einsum("bn,bnm->bm", V, M,
+                          precision=_DOT_PRECISION)
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - c + rho * z - y
+        x_t = mv(rhs, Kinv)
+        for _ in range(refine):
+            x_t = x_t + mv(rhs - mv(x_t, K), Kinv)
+        x_n = alpha * x_t + oma * x
+        z_rel = alpha * x_t + oma * z
+        z_n = jnp.clip(z_rel + rho_inv * y, l, u)
+        y_n = y + rho * (z_rel - z_n)
+        return (x_n, z_n, y_n), None
+
+    (x, z, y), _ = lax.scan(body, (x0, z0, y0), None, length=n_iter)
+    g = mv(x, K) - (sigma + rho) * x
+    return x, y, z, g
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
                                              "rho", "refine", "sub_batch",
                                              "interpret"))
 def fused_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,

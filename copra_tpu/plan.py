@@ -244,6 +244,7 @@ def auto_rho(plan: ControlPlan,
              seed_center=None,
              accurate: bool = False,
              accurate_rounds: int = 1,
+             use_fused=None,
              probe_lanes: int = 8,
              probe_steps: int = 3,
              candidates=(0.01, 0.1, 0.33, 1.0, 3.3),
@@ -309,7 +310,8 @@ def auto_rho(plan: ControlPlan,
         step = make_plan_step(plan_p, options.replace(rho=rho),
                               batched=True, seed_center=center,
                               accurate=accurate,
-                              accurate_rounds=accurate_rounds)
+                              accurate_rounds=accurate_rounds,
+                              use_fused=use_fused)
         warm = None
         u = None
         for t in range(probe_steps + 1):
@@ -345,7 +347,8 @@ def suggest_rho(plan: ControlPlan, sample_lanes: int = 4) -> float:
 
 
 def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
-                        seed_center, rounds: int = 2):
+                        seed_center, rounds: int = 2,
+                        use_fused: bool = True):
     """f64-exact batched box-only serving tick (see make_plan_step docs).
 
     Per tick: tiny f64 affine seed map, f32 fused correction-space ADMM,
@@ -354,10 +357,15 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
     native active-set) solution of the same f32-data QP is ~1e-9 for
     inactive lanes and ~1e-6 for saturated ones (correction-space f32
     floor), vs ~1e-2 for any pipeline that rounds ``c`` to f32.
+
+    ``use_fused=False`` swaps the Pallas per-lane kernel for the XLA
+    twin (:func:`xla_admm_box`) — for SHARED plans the x-update then
+    lowers to a ``[B, n] x [n, n]`` MXU GEMM, the roofline regime.
     """
     import dataclasses as _dc
 
-    from .ops.admm_kernel import default_sub_batch, fused_admm_box
+    from .ops.admm_kernel import (default_sub_batch, fused_admm_box,
+                                  xla_admm_box)
 
     f32 = jnp.float32
     f64 = jnp.float64
@@ -390,8 +398,15 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         ub_e = (ub64 - xs64).astype(f32)
         czero = jnp.zeros((bsz, n), f32)
         wy = czero if warm_b is None else warm_b.y.astype(f32)
-        Kb = jnp.broadcast_to(Kinv, (bsz, n, n)) if Kinv.ndim == 2 else Kinv
-        Kfb = jnp.broadcast_to(Kf, (bsz, n, n)) if Kf.ndim == 2 else Kf
+        if use_fused:
+            Kb = (jnp.broadcast_to(Kinv, (bsz, n, n))
+                  if Kinv.ndim == 2 else Kinv)
+            Kfb = (jnp.broadcast_to(Kf, (bsz, n, n))
+                   if Kf.ndim == 2 else Kf)
+        else:
+            # keep rank-2 operators rank-2: that is what lowers the
+            # x-update to one [B, n] x [n, n] MXU GEMM
+            Kb, Kfb = Kinv, Kf
         # Composite-level iterative refinement: saturated lanes stall at a
         # solution-space floor of ~cond(K)*eps_f32/lambda_min (the error
         # hides in the low-curvature subspace where the gradient cannot
@@ -407,23 +422,45 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
             lb_e = (lb64 - base64).astype(f32)
             ub_e = (ub64 - base64).astype(f32)
             wz = jnp.clip(czero, lb_e, ub_e)
-            e, y, ze, gq = fused_admm_box(
-                Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
-                n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
-                rho=opts.rho, refine=max(opts.kkt_refine, 0),
-                sub_batch=default_sub_batch(n),
-                interpret=jax.default_backend() not in ("tpu", "axon"))
+            if use_fused:
+                e, y, ze, gq = fused_admm_box(
+                    Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
+                    n_iter=opts.max_iter, sigma=opts.sigma,
+                    alpha=opts.alpha, rho=opts.rho,
+                    refine=max(opts.kkt_refine, 0),
+                    sub_batch=default_sub_batch(n),
+                    interpret=jax.default_backend() not in ("tpu", "axon"))
+            else:
+                e, y, ze, gq = xla_admm_box(
+                    Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
+                    n_iter=opts.max_iter, sigma=opts.sigma,
+                    alpha=opts.alpha, rho=opts.rho,
+                    refine=max(opts.kkt_refine, 0))
             wy = y
             base64 = base64 + e.astype(f64)
             if rnd < rounds - 1:
                 # gradient at the composite iterate: Q x + c =
                 # Q (x - xs) exactly, because Q xs + c = 0 by seed
                 # construction (f64, exact for the f32 plan data)
-                Q64 = plan_b.Q.astype(f64)
-                if Q64.ndim == 3:
-                    r64 = jnp.einsum("bnm,bm->bn", Q64, base64 - xs64)
+                dx64 = base64 - xs64
+                if plan_b.Q.ndim == 2 and not use_fused:
+                    # shared-plan GEMM regime: an f64 [B,n]x[n,n] GEMM is
+                    # software-emulated on TPU (~1 GFLOP/s measured) —
+                    # split dx into hi+lo f32 halves instead; two
+                    # HIGHEST-precision f32 GEMMs recover the f64-level
+                    # gradient (Q is exactly f32; only the hi-product's
+                    # f32 accumulation noise remains, relative ~1e-7 of
+                    # the O(1..10) saturated-lane gradients — and the
+                    # kernel consumes r32 = f32(r64) anyway)
+                    hi = dx64.astype(f32)
+                    lo = (dx64 - hi.astype(f64)).astype(f32)
+                    r64 = ((hi @ plan_b.Q).astype(f64)
+                           + (lo @ plan_b.Q).astype(f64))
+                elif plan_b.Q.ndim == 3:
+                    r64 = jnp.einsum("bnm,bm->bn", plan_b.Q.astype(f64),
+                                     dx64)
                 else:
-                    r64 = (base64 - xs64) @ Q64   # Q symmetric, shared plan
+                    r64 = dx64 @ plan_b.Q.astype(f64)   # Q symmetric
                 r32 = r64.astype(f32)
         # f64 combine; snap active coordinates to their exact bounds
         thr = f32(1e-6) * jnp.maximum(
@@ -433,35 +470,41 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         x64 = jnp.where(at_up, ub64, jnp.where(at_lo, lb64, base64))
         x64 = jnp.clip(x64, lb64, ub64)
         x32 = x64.astype(f32)
-        # Per-lane status from the exact f64 KKT residual of the
-        # DELIVERED x64 — not the internal f32 correction iterates: the
-        # consensus gap |e - ze| is nonzero at active coordinates the
-        # combine snaps exactly, so lanes whose returned solution is
-        # 1e-13-exact were reported unconverged (measured, VERDICT r2
-        # task 2).  grad = Q (x64 - xs) is the exact gradient because
-        # Q xs + c = 0 by seed construction; x64 is feasible by clip, so
-        # the KKT violation is sign-tested at the bounds and |grad| at
-        # interior coordinates.  One extra f64 [B,n]x[n,n] matvec per
-        # tick (~1/iters of the tick's FLOPs).
-        Q64s = plan_b.Q.astype(f64)
-        if Q64s.ndim == 3:
-            grad64 = jnp.einsum("bnm,bm->bn", Q64s, x64 - xs64)
+        # Per-lane status from the KKT residual of the DELIVERED x64 —
+        # not the internal f32 correction iterates: the consensus gap
+        # |e - ze| is nonzero at active coordinates the combine snaps
+        # exactly, so lanes whose returned solution is 1e-13-exact were
+        # reported unconverged (measured, VERDICT r2 task 2).  The
+        # gradient at x64 is grad = Q(x64 - xs) = gq + Q s, with
+        # gq = Q e from the kernel and s = x64 - base64 the snap delta:
+        # computed in f32 HIGHEST (an f64 per-lane einsum is
+        # software-emulated on TPU — measured 77 ms/tick, a 5x headline
+        # regression), which is accurate here because the f32 matvec
+        # noise scales with |s| (tiny at convergence) and gq carries the
+        # kernel's own ~1e-7-class noise floor.  x64 is feasible by
+        # clip, so the KKT violation is sign-tested at the bounds and
+        # |grad| at interior coordinates.  Cost: one extra f32 einsum
+        # per tick (~1/iters of the tick's FLOPs).
+        s32 = (x64 - base64).astype(f32)
+        if plan_b.Q.ndim == 3:
+            gqs = jnp.einsum("bnm,bm->bn", plan_b.Q, s32)
         else:
-            grad64 = (x64 - xs64) @ Q64s
+            gqs = s32 @ plan_b.Q
+        grad = r32 + gq + gqs
         on_up = x64 >= ub64
         on_lo = x64 <= lb64
         # at the upper bound optimality needs grad <= 0 (the objective
         # pushes up, the bound holds it); at the lower, grad >= 0
-        kkt = jnp.where(on_up, jnp.maximum(grad64, 0.0),
-                        jnp.where(on_lo, jnp.maximum(-grad64, 0.0),
-                                  jnp.abs(grad64)))
+        kkt = jnp.where(on_up, jnp.maximum(grad, 0.0),
+                        jnp.where(on_lo, jnp.maximum(-grad, 0.0),
+                                  jnp.abs(grad)))
         r_dual = jnp.max(kkt, axis=-1)
         r_prim = jnp.max(jnp.abs(e - ze), axis=-1)   # diagnostic only
         eps_floor = 25.0 * float(jnp.finfo(f32).eps)
         eps = max(opts.eps_abs, eps_floor)
         eps_rel = max(opts.eps_rel, eps_floor)
-        d_scale = jnp.maximum(jnp.max(jnp.abs(grad64), axis=-1),
-                              jnp.max(jnp.abs(y), axis=-1).astype(f64))
+        d_scale = jnp.maximum(jnp.max(jnp.abs(grad), axis=-1),
+                              jnp.max(jnp.abs(y), axis=-1))
         conv = r_dual <= eps + eps_rel * d_scale
         sol = QPSolution(
             x=x64, y=y, z=x32,
@@ -510,6 +553,11 @@ def make_plan_step(plan: ControlPlan,
     to their exact bound values in f64.
     """
     box_only = plan.Aeq.shape[-2] == 0 and plan.Aineq.shape[-2] == 0
+    # accurate path: the fused kernel (interpret-mode on CPU) stays the
+    # default everywhere so tests exercise the production kernel; an
+    # EXPLICIT use_fused=False selects the XLA twin (shared-plan GEMM
+    # roofline regime)
+    accurate_fused = use_fused is not False
     if use_fused is None:
         use_fused = jax.default_backend() in ("tpu", "axon")
     use_fused = (use_fused and batched and box_only
@@ -524,7 +572,8 @@ def make_plan_step(plan: ControlPlan,
             raise ValueError("accurate=True needs jax_enable_x64 (f64 "
                              "seed application on device).")
         return _make_accurate_step(plan, options, seed_center,
-                                   rounds=max(int(accurate_rounds), 1))
+                                   rounds=max(int(accurate_rounds), 1),
+                                   use_fused=accurate_fused)
 
     if use_fused:
         from .ops.admm_kernel import default_sub_batch, fused_admm_box
