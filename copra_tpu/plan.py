@@ -486,7 +486,19 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         # |grad| at interior coordinates.  Cost: one extra f32 einsum
         # per tick (~1/iters of the tick's FLOPs).
         s32 = (x64 - base64).astype(f32)
-        if plan_b.Q.ndim == 3:
+        if plan_b.Q.ndim == 3 and use_fused:
+            # batched matvec THROUGH THE PALLAS KERNEL (n_iter=0 runs no
+            # ADMM iterations and returns g = Q x0 from the VMEM-resident
+            # K): every XLA lowering of a [B,n,n]x[B,n] matvec in this
+            # program picks a windowed vector-unit path that re-streams Q
+            # at ~36 ms/tick (measured; einsum, dot_general, vmap, and a
+            # replicated-row GEMM all hit it)
+            gqs = fused_admm_box(
+                Kb, Kfb, czero, lb_e, ub_e, s32, czero, czero,
+                n_iter=0, sigma=opts.sigma, alpha=opts.alpha,
+                rho=opts.rho, refine=0, sub_batch=default_sub_batch(n),
+                interpret=jax.default_backend() not in ("tpu", "axon"))[3]
+        elif plan_b.Q.ndim == 3:
             gqs = jnp.einsum("bnm,bm->bn", plan_b.Q, s32)
         else:
             gqs = s32 @ plan_b.Q
