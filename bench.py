@@ -169,17 +169,23 @@ def run_roofline(jax):
     constraints = (ct.ControlBoundConstraint.create([-bound], [bound]),)
     plan = make_control_plan(system, costs, constraints)
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
-    # use_fused=False: the shared-plan x-update must lower to the
-    # [B, n] x [n, n] MXU GEMM (the Pallas kernel's per-lane matvec
-    # layout measured 2.2% MFU here — it exists for PER-LANE operators)
+    # kernel choice: "shared" (default) = the shared-operator Pallas
+    # kernel (K/Kinv VMEM-resident per lane block, [lb,n]x[n,n] MXU GEMM
+    # x-updates, lane vectors resident across ALL iterations — HBM
+    # traffic is one pass over the vectors per tick); "xla" = the XLA
+    # GEMM loop (re-streams the lane vectors every iteration).  The
+    # per-lane Pallas kernel is NOT an option here: its matvec layout
+    # measured 2.2% MFU on shared operators.
+    which = os.environ.get("BENCH_ROOFLINE_KERNEL", "shared")
+    uf = None if which == "shared" else False
     opts = opts.replace(rho=auto_rho(plan, x0s, opts,
                                      seed_center=x0s.mean(0),
                                      accurate=True,
                                      accurate_rounds=rounds,
-                                     use_fused=False))
+                                     use_fused=uf))
     step = make_plan_step(plan, opts, batched=True,
                           seed_center=x0s.mean(0), accurate=True,
-                          accurate_rounds=rounds, use_fused=False)
+                          accurate_rounds=rounds, use_fused=uf)
     drift = np.zeros((steps + 2, B, 2))
     drift[:, :, 1] = np.cumsum(
         rng.normal(scale=0.02, size=(steps + 2, B)), axis=0)
@@ -202,7 +208,8 @@ def run_roofline(jax):
     mfu_wall = sps * flops_per_solve / (pk_tf * 1e12)
     res = {
         "metric": f"shared-plan fleet roofline point (B={B}, N={n}, "
-                  f"{rounds}x{iters} iters, accurate XLA-GEMM path)",
+                  f"{rounds}x{iters} iters, accurate path, "
+                  f"{which} kernel)",
         "solves_per_s": round(sps, 1),
         "bound": round(bound, 2),
         "rho": float(f"{opts.rho:.4g}"),
@@ -221,8 +228,13 @@ def run_roofline(jax):
         try:
             with jax.profiler.trace(tdir):
                 for t in range(K):
-                    u, _, warm = step(plan, x0_seq[2 + (t % steps)], warm)
-                jax.block_until_ready(u)
+                    # u2, not u: the gate below compares u against the
+                    # exact solution AT x0_seq[steps+1] — overwriting it
+                    # with re-ticked earlier states broke the gate (a
+                    # 2.53 'error' that was really a state mismatch)
+                    u2, _, warm = step(plan, x0_seq[2 + (t % steps)],
+                                       warm)
+                jax.block_until_ready(u2)
             parsed = _trace_device_time(tdir)
         except Exception as exc:                  # noqa: BLE001
             parsed = None
@@ -233,6 +245,18 @@ def run_roofline(jax):
             res["measured_device_ms_per_tick"] = round(dev_s * 1e3, 3)
             res["measured_mfu"] = round(
                 B * flops_per_solve / dev_s / (pk_tf * 1e12), 4)
+            # kernel-level utilization: the ADMM kernel's own device
+            # time vs its GEMM flops (rounds x (iters+1) x 2Bn^2) — the
+            # per-tick seed/combine/status work dilutes the tick-level
+            # number, the KERNEL is the speed-of-light claim
+            kern_s = sum(s for nm, s in top
+                         if "fused_admm_box" in nm or "xla_admm_box" in nm
+                         ) / K
+            if kern_s > 0:
+                kflops = rounds * (iters + 1) * 2 * B * n * n
+                res["measured_kernel_mfu"] = round(
+                    kflops / kern_s / (pk_tf * 1e12), 4)
+                res["measured_kernel_ms_per_tick"] = round(kern_s * 1e3, 3)
             res["device_top_ops_ms"] = [[nm[:60], round(s / K * 1e3, 3)]
                                         for nm, s in top]
 

@@ -365,7 +365,7 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
     import dataclasses as _dc
 
     from .ops.admm_kernel import (default_sub_batch, fused_admm_box,
-                                  xla_admm_box)
+                                  fused_admm_box_shared, xla_admm_box)
 
     f32 = jnp.float32
     f64 = jnp.float64
@@ -388,6 +388,10 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         bsz = x0_b.shape[0]
         x0_64 = x0_b.astype(f64)
         dx0 = x0_64 - seed.x0c
+        # (measured: the f64 einsum's emulated while-form costs ~1 ms
+        # per tick here, but decomposing it into xdim f64 elementwise
+        # multiply-adds costs MORE — each emulated f64 pass over [B, n]
+        # is ~0.25 ms and the decomposition needs 2*xdim of them)
         if seed.Umap.ndim == 3:
             xs64 = seed.u0 + jnp.einsum("bx,bxn->bn", dx0, seed.Umap)
         else:
@@ -398,15 +402,12 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         ub_e = (ub64 - xs64).astype(f32)
         czero = jnp.zeros((bsz, n), f32)
         wy = czero if warm_b is None else warm_b.y.astype(f32)
-        if use_fused:
-            Kb = (jnp.broadcast_to(Kinv, (bsz, n, n))
-                  if Kinv.ndim == 2 else Kinv)
-            Kfb = (jnp.broadcast_to(Kf, (bsz, n, n))
-                   if Kf.ndim == 2 else Kf)
-        else:
-            # keep rank-2 operators rank-2: that is what lowers the
-            # x-update to one [B, n] x [n, n] MXU GEMM
-            Kb, Kfb = Kinv, Kf
+        # SHARED rank-2 operators stay rank-2 on every path: the fused
+        # route then takes the shared-operator kernel (operator pair
+        # VMEM-resident once per lane block, [lb,n]x[n,n] MXU GEMM
+        # x-updates) and the XLA route lowers to one [B,n]x[n,n] GEMM —
+        # broadcasting to [B,n,n] would materialize B copies
+        Kb, Kfb = Kinv, Kf
         # Composite-level iterative refinement: saturated lanes stall at a
         # solution-space floor of ~cond(K)*eps_f32/lambda_min (the error
         # hides in the low-curvature subspace where the gradient cannot
@@ -422,13 +423,20 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
             lb_e = (lb64 - base64).astype(f32)
             ub_e = (ub64 - base64).astype(f32)
             wz = jnp.clip(czero, lb_e, ub_e)
-            if use_fused:
+            if use_fused and Kb.ndim == 3:
                 e, y, ze, gq = fused_admm_box(
                     Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
                     n_iter=opts.max_iter, sigma=opts.sigma,
                     alpha=opts.alpha, rho=opts.rho,
                     refine=max(opts.kkt_refine, 0),
                     sub_batch=default_sub_batch(n),
+                    interpret=jax.default_backend() not in ("tpu", "axon"))
+            elif use_fused:
+                e, y, ze, gq = fused_admm_box_shared(
+                    Kb, Kfb, r32, lb_e, ub_e, czero, wy, wz,
+                    n_iter=opts.max_iter, sigma=opts.sigma,
+                    alpha=opts.alpha, rho=opts.rho,
+                    refine=max(opts.kkt_refine, 0),
                     interpret=jax.default_backend() not in ("tpu", "axon"))
             else:
                 e, y, ze, gq = xla_admm_box(

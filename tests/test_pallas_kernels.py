@@ -57,6 +57,64 @@ def test_fused_box_matches_xla_path():
                                  np.asarray(x)), rtol=1e-3, atol=1e-3)
 
 
+def test_fused_box_shared_matches_xla_twin():
+    """Shared-operator kernel (one [n,n] pair, MXU-GEMM x-updates) ==
+    xla_admm_box with the same shared operators, and both == the batched
+    kernel with the operators broadcast."""
+    from copra_tpu.ops.admm_kernel import fused_admm_box_shared, xla_admm_box
+
+    batch, n, iters = 12, 16, 50
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(n, n))
+    Q = jnp.asarray((M @ M.T + n * np.eye(n)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32))
+    lb = jnp.asarray(rng.uniform(-2.0, -0.5,
+                                 size=(batch, n)).astype(np.float32))
+    ub = jnp.asarray(rng.uniform(0.5, 2.0,
+                                 size=(batch, n)).astype(np.float32))
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False)
+    sigma, rho, alpha = opts.sigma, opts.rho, opts.alpha
+    K = Q + jnp.float32(sigma + rho) * jnp.eye(n, dtype=jnp.float32)
+    Kinv = jnp.linalg.inv(K.astype(jnp.float64)).astype(jnp.float32)
+    zeros = jnp.zeros((batch, n), jnp.float32)
+    args = (Kinv, K, c, lb, ub, zeros, zeros, zeros)
+    kw = dict(n_iter=iters, sigma=sigma, alpha=alpha, rho=rho)
+    xs, ys, zs, gs = fused_admm_box_shared(*args, interpret=True,
+                                           lane_block=8, **kw)   # pads 12->16
+    xr, yr, zr, gr = xla_admm_box(*args, **kw)
+    for a, b in ((xs, xr), (ys, yr), (zs, zr), (gs, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # and the batched kernel with broadcast operators agrees too
+    Kb = jnp.broadcast_to(Kinv, (batch, n, n))
+    Kfb = jnp.broadcast_to(K, (batch, n, n))
+    xb, yb, zb, gb = fused_admm_box(Kb, Kfb, c, lb, ub, zeros, zeros,
+                                    zeros, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xb),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_box_shared_niter0_is_matvec():
+    """n_iter=0 turns the kernel into g = Q x0 (the status matvec)."""
+    from copra_tpu.ops.admm_kernel import fused_admm_box_shared
+
+    batch, n = 4, 8
+    rng = np.random.default_rng(4)
+    M = rng.normal(size=(n, n))
+    Q = jnp.asarray((M @ M.T + n * np.eye(n)).astype(np.float32))
+    sigma, rho = 1e-6, 0.1
+    K = Q + jnp.float32(sigma + rho) * jnp.eye(n, dtype=jnp.float32)
+    Kinv = jnp.linalg.inv(K.astype(jnp.float64)).astype(jnp.float32)
+    s = jnp.asarray(rng.normal(size=(batch, n)).astype(np.float32))
+    zeros = jnp.zeros((batch, n), jnp.float32)
+    x, y, z, g = fused_admm_box_shared(
+        Kinv, K, zeros, zeros - 10, zeros + 10, s, zeros, zeros,
+        n_iter=0, sigma=sigma, alpha=1.6, rho=rho, interpret=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(s))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(s) @ np.asarray(Q),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_box_solution_quality():
     """Against the exact native oracle, not just the XLA twin."""
     from copra_tpu.qp.native import native_available, solve_qp_native
