@@ -44,38 +44,56 @@ def _box_kernel_iter_outer(n_iter: int, sigma: float, alpha: float,
     INDEPENDENT per-lane matvecs back-to-back (unrolled — Mosaic rejects
     batched dot_general), so the MXU pipelines across lanes instead of
     stalling on one lane's dependent chain.  Same math as the
-    scenario-outer kernel, bit-identical per lane."""
+    scenario-outer kernel, bit-identical per lane.
+
+    TWO-STREAM: when ``sb`` is even the sub-batch is processed as two
+    independent halves whose updates interleave, so one half's
+    elementwise VPU chain overlaps the other half's matvec burst (the
+    shared-operator kernel's trick applied to the per-lane layout;
+    per-lane updates are unchanged)."""
     rho_inv = 1.0 / rho
     oma = 1.0 - alpha
-    c = c_ref[...]
-    l = l_ref[...]
-    u = u_ref[...]
 
     def mv(v, M):
         return jax.lax.dot_general(
             v, M, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_DOT_PRECISION)
 
-    def bmv(V, m_ref):
-        rows = [mv(V[j][None, :], m_ref[j]) for j in range(sb)]
+    def bmv(V, m_ref, lo):
+        rows = [mv(V[j][None, :], m_ref[lo + j])
+                for j in range(V.shape[0])]
         return jnp.concatenate(rows, axis=0)
 
-    def body(_, carry):
-        x, z, y = carry                     # [sb, n]
-        rhs = sigma * x - c + rho * z - y
-        x_t = bmv(rhs, kinv_ref)
-        x_n = alpha * x_t + oma * x
-        z_rel = alpha * x_t + oma * z
-        z_n = jnp.clip(z_rel + rho_inv * y, l, u)
-        y_n = y + rho * (z_rel - z_n)
-        return (x_n, z_n, y_n)
+    h = sb // 2 if sb % 2 == 0 and sb > 1 else sb
+    slices = ((slice(None, h), 0),) if h == sb \
+        else ((slice(None, h), 0), (slice(h, None), h))
+    cs = [c_ref[s] for s, _ in slices]
+    ls = [l_ref[s] for s, _ in slices]
+    us = [u_ref[s] for s, _ in slices]
 
-    init = (x0_ref[...], z0_ref[...], y0_ref[...])
-    x, z, y = lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), body, init)
-    x_ref[...] = x
-    z_ref[...] = z
-    y_ref[...] = y
-    g_ref[...] = bmv(x, k_ref) - (sigma + rho) * x
+    def body(_, carry):
+        parts = [carry[3 * i:3 * i + 3] for i in range(len(slices))]
+        rhss = [sigma * x - cs[i] + rho * z - y
+                for i, (x, z, y) in enumerate(parts)]
+        ts = [bmv(rhss[i], kinv_ref, slices[i][1])
+              for i in range(len(slices))]
+        out = []
+        for i, (x, z, y) in enumerate(parts):
+            x_n = alpha * ts[i] + oma * x
+            z_rel = alpha * ts[i] + oma * z
+            z_n = jnp.clip(z_rel + rho_inv * y, ls[i], us[i])
+            y_n = y + rho * (z_rel - z_n)
+            out += [x_n, z_n, y_n]
+        return tuple(out)
+
+    init = sum(((x0_ref[s], z0_ref[s], y0_ref[s]) for s, _ in slices), ())
+    fin = lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), body, init)
+    for i, (s, lo) in enumerate(slices):
+        x, z, y = fin[3 * i:3 * i + 3]
+        x_ref[s] = x
+        z_ref[s] = z
+        y_ref[s] = y
+        g_ref[s] = bmv(x, k_ref, lo) - (sigma + rho) * x
 
 
 def _box_kernel(n_iter: int, sigma: float, alpha: float, rho: float,

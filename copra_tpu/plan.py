@@ -388,12 +388,17 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         bsz = x0_b.shape[0]
         x0_64 = x0_b.astype(f64)
         dx0 = x0_64 - seed.x0c
-        # (measured: the f64 einsum's emulated while-form costs ~1 ms
-        # per tick here, but decomposing it into xdim f64 elementwise
-        # multiply-adds costs MORE — each emulated f64 pass over [B, n]
-        # is ~0.25 ms and the decomposition needs 2*xdim of them)
+        # seed application: PER-LANE maps decompose over the (small)
+        # state dimension — the f64 batched einsum is software-emulated
+        # on TPU as ~2.2 ms of while-loops per tick, while 2*xdim exact
+        # f64 elementwise passes cost ~1 ms (measured: 10.6 -> 8.3 ms
+        # headline tick).  SHARED maps keep the [B,x]@[x,n] f64 matmul:
+        # for rank-2 operands the emulated form is CHEAPER than the
+        # decomposition's extra elementwise passes (also measured).
         if seed.Umap.ndim == 3:
-            xs64 = seed.u0 + jnp.einsum("bx,bxn->bn", dx0, seed.Umap)
+            xs64 = seed.u0
+            for k in range(dx0.shape[-1]):
+                xs64 = xs64 + dx0[:, k, None] * seed.Umap[:, k, :]
         else:
             xs64 = seed.u0 + dx0 @ seed.Umap
         lb64 = jnp.broadcast_to(plan_b.lb, (bsz, n)).astype(f64)
@@ -596,7 +601,8 @@ def make_plan_step(plan: ControlPlan,
                                    use_fused=accurate_fused)
 
     if use_fused:
-        from .ops.admm_kernel import default_sub_batch, fused_admm_box
+        from .ops.admm_kernel import (default_sub_batch, fused_admm_box,
+                                      fused_admm_box_shared)
 
         opts = options.replace(early_exit=False)
         q_batched = plan.Q.ndim == 3
@@ -637,19 +643,26 @@ def make_plan_step(plan: ControlPlan,
             we = czero
             wz = jnp.clip(we, lb, ub)
             wy = czero if warm_b is None else warm_b.y
-            Kb = jnp.broadcast_to(
-                Kinv, (batch_n, n, n)) if Kinv.ndim == 2 else Kinv
-            Kfb = jnp.broadcast_to(
-                Kf, (batch_n, n, n)) if Kf.ndim == 2 else Kf
             refine = opts.kkt_refine
             if refine < 0:   # auto: one refinement step in f32
                 refine = 1 if jnp.finfo(jnp.float32).eps > 1e-10 else 0
-            e, y, ze, gq = fused_admm_box(
-                Kb, Kfb, czero, lb, ub, we, wy, wz,
-                n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
-                rho=opts.rho, refine=refine,
-                sub_batch=default_sub_batch(n),
-                interpret=jax.default_backend() not in ("tpu", "axon"))
+            interp = jax.default_backend() not in ("tpu", "axon")
+            if Kinv.ndim == 2:
+                # SHARED plan: the two-stream shared-operator kernel
+                # ([lb,n]x[n,n] MXU GEMM x-updates, no [B,n,n] broadcast
+                # materialization — the roofline regime)
+                e, y, ze, gq = fused_admm_box_shared(
+                    Kinv, Kf, czero, lb, ub, we, wy, wz,
+                    n_iter=opts.max_iter, sigma=opts.sigma,
+                    alpha=opts.alpha, rho=opts.rho, refine=refine,
+                    interpret=interp)
+            else:
+                e, y, ze, gq = fused_admm_box(
+                    Kinv, Kf, czero, lb, ub, we, wy, wz,
+                    n_iter=opts.max_iter, sigma=opts.sigma,
+                    alpha=opts.alpha, rho=opts.rho, refine=refine,
+                    sub_batch=default_sub_batch(n),
+                    interpret=interp)
             x = x_seed + e
             z = x_seed + ze
             # honest per-lane status: same convergence check as the XLA

@@ -126,6 +126,36 @@ def test_plan_step_fused_matches_xla_step():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_plan_step_fused_shared_plan_matches_xla_step():
+    """SHARED plan + use_fused=True routes through the two-stream
+    shared-operator kernel (rank-2 operators, no [B,n,n] broadcast) and
+    matches the XLA fast path."""
+    system = ct.LTISystem.create(A.astype(np.float32), B.astype(np.float32),
+                                 D.astype(np.float32),
+                                 SMALL_X0.astype(np.float32), SMALL_N)
+    costs = (ct.TargetCost.create(M.astype(np.float32),
+                                  XD.astype(np.float32),
+                                  weights=WX.astype(np.float32)),
+             ct.ControlCost.create(N_MAT.astype(np.float32),
+                                   UD.astype(np.float32),
+                                   weights=WU.astype(np.float32)))
+    constraints = (ct.ControlBoundConstraint.create(
+        U_LOWER.astype(np.float32), U_UPPER.astype(np.float32)),)
+    batch = 5
+    rng = np.random.default_rng(3)
+    x0s = (SMALL_X0[None] + rng.normal(scale=[0.02, 0.1], size=(batch, 2))
+           ).astype(np.float32)
+    plan = make_control_plan(system, costs, constraints)   # ONE shared plan
+    opts = ct.SolverOptions(max_iter=400)
+    step_xla = make_plan_step(plan, opts, batched=True, use_fused=False)
+    step_fus = make_plan_step(plan, opts, batched=True, use_fused=True)
+    U1, sol1, _ = step_xla(plan, jnp.asarray(x0s), None)
+    U2, sol2, _ = step_fus(plan, jnp.asarray(x0s), None)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2),
+                               rtol=2e-4, atol=2e-4)
+    assert (np.asarray(sol2.status) == np.asarray(sol1.status)).all()
+
+
 def test_plan_step_general_batched():
     """Batched general-constraint plan step vs per-lane solve_qp."""
     system, costs, constraints = full_setup()
