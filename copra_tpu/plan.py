@@ -128,6 +128,7 @@ def _jacobi_inverse(Mat: Array) -> Array:
     return (Lsi.T @ Lsi) * S[:, None] * S[None, :]
 
 
+
 @highest_precision
 def _box_fast_state(plan: ControlPlan, options: SolverOptions):
     """Precompute the KKT inverse for the box-only fast path (shared across
