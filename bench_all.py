@@ -281,15 +281,22 @@ def config2():
                                  B.astype(np.float32),
                                  d.astype(np.float32),
                                  x0s[0].astype(np.float32), N)
-    costs = (ct.TargetCost.create(np.eye(2), [0.0, 0.0],
-                                  weights=[10.0, 1.0]),
-             ct.ControlCost.create([[1.0]], [0.0], weights=[1e-3]))
+    # pin EVERYTHING to f32 (under x64, bare numpy costs make the plan
+    # f64 — which silently ran the whole line through TPU f64 EMULATION:
+    # measured 17.2k solves/s vs 158k once the plan is genuinely f32)
+    f32c = lambda a: np.asarray(a, np.float32)
+    costs = (ct.TargetCost.create(f32c(np.eye(2)), f32c([0.0, 0.0]),
+                                  weights=f32c([10.0, 1.0])),
+             ct.ControlCost.create(f32c([[1.0]]), f32c([0.0]),
+                                   weights=f32c([1e-3])))
     constraints = (
-        ct.TrajectoryConstraint.create([[0.0, 1.0]], [1.5]),     # vel <= 1.5
-        ct.ControlConstraint.create([[1.0]], [1.9]),             # u <= 1.9
-        ct.MixedConstraint.create([[1.0, 0.0]], [[0.1]], [3.0]),  # x+0.1u<=3
-        ct.TrajectoryBoundConstraint.create([-5.0, -2.0], [5.0, 2.0]),
-        ct.ControlBoundConstraint.create([-2.0], [2.0]),
+        ct.TrajectoryConstraint.create(f32c([[0.0, 1.0]]), f32c([1.5])),
+        ct.ControlConstraint.create(f32c([[1.0]]), f32c([1.9])),
+        ct.MixedConstraint.create(f32c([[1.0, 0.0]]), f32c([[0.1]]),
+                                  f32c([3.0])),
+        ct.TrajectoryBoundConstraint.create(f32c([-5.0, -2.0]),
+                                            f32c([5.0, 2.0])),
+        ct.ControlBoundConstraint.create(f32c([-2.0]), f32c([2.0])),
     )
     plan = make_control_plan(system, costs, constraints)
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)

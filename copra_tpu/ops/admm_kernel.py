@@ -419,6 +419,125 @@ def fused_admm_box_shared(Kinv: Array, K: Array, c: Array, l: Array,
     return x, y, z, g
 
 
+def _general_kernel_shared(n_iter: int, sigma: float, alpha: float,
+                           refine: int, half: int,
+                           kinv_ref, k_ref, cmat_ref, rho_ref,
+                           l_ref, u_ref, e0_ref, y0_ref, z0_ref,
+                           e_ref, y_ref, z_ref):
+    """SHARED-operator GENERAL ADMM (dense C [m, n], per-row penalties):
+    the correction-space body of the general plan path with ``Kinv``,
+    ``K``, ``C``, and ``rho`` VMEM-resident for a whole lane block and
+    all matvecs as lane-blocked MXU GEMMs.  Two-stream like
+    :func:`_box_kernel_shared` (bit-identical per lane)."""
+    sigma = jnp.float32(sigma)
+    alpha = jnp.float32(alpha)
+    oma = jnp.float32(1.0) - alpha
+    Kinv = kinv_ref[...]
+    K = k_ref[...]
+    C = cmat_ref[...]
+    rho = rho_ref[...]           # [1, m]
+    rho_inv = jnp.float32(1.0) / rho
+    sl = (slice(None, half), slice(half, None))
+    ls = [l_ref[s] for s in sl]
+    us = [u_ref[s] for s in sl]
+
+    def mm(V, M, dims=(((1,), (0,)), ((), ()))):
+        return jax.lax.dot_general(
+            V, M, dims, preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION)
+
+    def one(e, z, y, i):
+        w = rho * z - y                       # [h, m]
+        rhs = sigma * e + mm(w, C)            # [h, m] x [m, n]
+        e_t = mm(rhs, Kinv)
+        for _ in range(refine):
+            e_t = e_t + mm(rhs - mm(e_t, K), Kinv)
+        # z_t = e_t C^T: contract C's n-axis (no transpose materialized)
+        z_t = mm(e_t, C, (((1,), (1,)), ((), ())))
+        e_n = alpha * e_t + oma * e
+        z_rel = alpha * z_t + oma * z
+        z_n = jnp.clip(z_rel + rho_inv * y, ls[i], us[i])
+        y_n = y + rho * (z_rel - z_n)
+        return e_n, z_n, y_n
+
+    def body(_, carry):
+        ea, za, ya, eb, zb, yb = carry
+        ea, za, ya = one(ea, za, ya, 0)
+        eb, zb, yb = one(eb, zb, yb, 1)
+        return (ea, za, ya, eb, zb, yb)
+
+    init = (e0_ref[sl[0]], z0_ref[sl[0]], y0_ref[sl[0]],
+            e0_ref[sl[1]], z0_ref[sl[1]], y0_ref[sl[1]])
+    ea, za, ya, eb, zb, yb = lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_iter), body, init)
+    e_ref[sl[0]] = ea
+    e_ref[sl[1]] = eb
+    z_ref[sl[0]] = za
+    z_ref[sl[1]] = zb
+    y_ref[sl[0]] = ya
+    y_ref[sl[1]] = yb
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
+                                             "refine", "lane_block",
+                                             "interpret"))
+def fused_admm_general_shared(Kinv: Array, K: Array, C: Array,
+                              rho_vec: Array, l: Array, u: Array,
+                              e0: Array, y0: Array, z0: Array, *,
+                              n_iter: int, sigma: float, alpha: float,
+                              refine: int = 0, lane_block: int = 0,
+                              interpret: bool = False
+                              ) -> Tuple[Array, Array, Array]:
+    """General-constraint ADMM for SHARED operators: ``Kinv/K [n,n]``,
+    ``C [m,n]``, ``rho_vec [m]`` serve every lane; ``l/u/y0/z0 [B,m]``,
+    ``e0 [B,n]``.  The whole fixed-count loop runs on-chip with the
+    operators VMEM-resident once per lane block (the config-2 class:
+    one plan, fleet of states — measured 204 ms/tick as an XLA while
+    loop at B=4096/n=10/m~95/400 iters).  Returns ``(e, y, z)``."""
+    B, m = l.shape
+    n = Kinv.shape[-1]
+    lb = lane_block or default_lane_block(max(m, n))
+    lb = max(min(lb, B) - min(lb, B) % 16, 16)
+    Bp = ((B + lb - 1) // lb) * lb
+    if Bp != B:
+        padm = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (Bp - B, a.shape[1]))], axis=0)
+        l, u, y0, z0 = map(padm, (l, u, y0, z0))
+        e0 = padm(e0)
+    grid = (Bp // lb,)
+
+    _z = np.int32(0)
+
+    def vecm(i):
+        return (i, _z)
+
+    def op0(i):
+        return (_z, _z)
+
+    vm_spec = pl.BlockSpec((lb, m), vecm, memory_space=pltpu.VMEM)
+    vn_spec = pl.BlockSpec((lb, n), vecm, memory_space=pltpu.VMEM)
+    kernel = functools.partial(_general_kernel_shared, n_iter,
+                               float(sigma), float(alpha), int(refine),
+                               lb // 2)
+    e, y, z = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n), op0, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, n), op0, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((m, n), op0, memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, m), op0, memory_space=pltpu.VMEM),
+                  vm_spec, vm_spec, vn_spec, vm_spec, vm_spec],
+        out_specs=(vn_spec, vm_spec, vm_spec),
+        out_shape=(jax.ShapeDtypeStruct((Bp, n), l.dtype),
+                   jax.ShapeDtypeStruct((Bp, m), l.dtype),
+                   jax.ShapeDtypeStruct((Bp, m), l.dtype)),
+        interpret=interpret,
+    )(Kinv, K, C, rho_vec[None, :], l, u, e0, y0, z0)
+    if Bp != B:
+        e, y, z = e[:B], y[:B], z[:B]
+    return e, y, z
+
+
 def _general_kernel(n_iter: int, sigma: float, alpha: float,
                     kinv_ref, cmat_ref, cvec_ref, l_ref, u_ref, rho_ref,
                     x0_ref, y0_ref, z0_ref, x_ref, y_ref, z_ref):

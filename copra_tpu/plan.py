@@ -584,6 +584,13 @@ def make_plan_step(plan: ControlPlan,
     # EXPLICIT use_fused=False selects the XLA twin (shared-plan GEMM
     # roofline regime)
     accurate_fused = use_fused is not False
+    # the shared-operator GENERAL kernel is opt-in (use_fused=True
+    # explicitly): at the plan-regime shapes (n~10-100, m~100 rows,
+    # SHARED C) XLA's batched GEMMs measure FASTER than the kernel
+    # (506k vs 280k solves/s on the config-2 class at f32) — moral 6 of
+    # docs/PERFORMANCE.md, re-confirmed; the kernel stays for shapes
+    # where operator re-streaming dominates
+    explicit_fused = use_fused is True
     if use_fused is None:
         use_fused = jax.default_backend() in ("tpu", "axon")
     use_fused = (use_fused and batched and box_only
@@ -931,6 +938,83 @@ def make_plan_step(plan: ControlPlan,
                                                   seed_map, x0_b, warm_b)
 
     kax = 0 if q_batched else None
+
+    gen_fused = (explicit_fused and batched and not q_batched
+                 and not options.polish
+                 and plan.Q.dtype == jnp.float32)
+    if gen_fused:
+        from .ops.admm_kernel import fused_admm_general_shared
+
+        @jax.jit
+        @highest_precision
+        def stepb_gen_fused(plan_b, C, E, rho_vec, K, Kinv, seed, x0_b,
+                            warm_b):
+            """Batched general tick through the SHARED-operator Pallas
+            kernel (one plan, fleet of states): Kinv/K/C/rho VMEM-
+            resident per lane block, all matvecs lane-blocked MXU GEMMs.
+            Same update order as ``single`` (the vmapped XLA path is the
+            oracle in tests); measured 204 ms -> see PERFORMANCE.md."""
+            dt = plan_b.Q.dtype
+            bsz = x0_b.shape[0]
+            m = C.shape[0]
+            beq = plan_b.beq0 + x0_b @ plan_b.Beqmap        # [B, me]
+            bineq = plan_b.bineq0 + x0_b @ plan_b.Bineqmap  # [B, mi]
+            lbb = jnp.broadcast_to(plan_b.lb, (bsz, n_plan))
+            ubb = jnp.broadcast_to(plan_b.ub, (bsz, n_plan))
+            l = E[None, :] * jnp.concatenate(
+                [beq, jnp.full((bsz, mi), -jnp.inf, dt), lbb], axis=1)
+            u = E[None, :] * jnp.concatenate([beq, bineq, ubb], axis=1)
+            dx0 = x0_b - seed.x0c
+            if seed.Umap.ndim == 3:
+                x_seed = seed.u0 + jnp.einsum("bx,bxn->bn", dx0,
+                                              seed.Umap)
+            else:
+                x_seed = seed.u0 + dx0 @ seed.Umap
+            Cxs = x_seed @ C.T                              # [B, m]
+            l_e = l - Cxs
+            u_e = u - Cxs
+            e0 = jnp.zeros((bsz, n_plan), dt)
+            z0 = jnp.clip(jnp.zeros((bsz, m), dt), l_e, u_e)
+            y0 = (jnp.zeros((bsz, m), dt) if warm_b is None
+                  else warm_b.y / E[None, :])
+            refine = opts.kkt_refine
+            if refine < 0:
+                refine = 1 if jnp.finfo(dt).eps > 1e-10 else 0
+            e, y, z = fused_admm_general_shared(
+                Kinv, K, C, rho_vec, l_e, u_e, e0, y0, z0,
+                n_iter=opts.max_iter, sigma=opts.sigma, alpha=opts.alpha,
+                refine=refine,
+                interpret=jax.default_backend() not in ("tpu", "axon"))
+            x = x_seed + e
+            c_tick = plan_b.c0[None] + x0_b @ plan_b.Cmap \
+                if plan_b.c0.ndim == 1 else plan_b.c0 + x0_b @ plan_b.Cmap
+            Ce = e @ C.T
+            r_prim = jnp.max(jnp.abs(Ce - z), axis=-1)
+            Qx = x @ plan_b.Q                               # Q symmetric
+            CTy = y @ C
+            grad = Qx + c_tick + CTy
+            r_dual = jnp.max(jnp.abs(grad), axis=-1)
+            eps_floor = 25.0 * float(jnp.finfo(dt).eps)
+            eps = max(opts.eps_abs, eps_floor)
+            eps_rel = max(opts.eps_rel, eps_floor)
+            d_scale = jnp.maximum(
+                jnp.max(jnp.abs(Qx), axis=-1),
+                jnp.maximum(jnp.max(jnp.abs(CTy), axis=-1),
+                            jnp.max(jnp.abs(c_tick), axis=-1)))
+            conv = ((r_prim <= eps + eps_rel
+                     * jnp.max(jnp.abs(Cxs + Ce), axis=-1))
+                    & (r_dual <= eps + eps_rel * d_scale))
+            y_orig = E[None, :] * y
+            sol = QPSolution(
+                x=x, y=y_orig, z=Cxs + z,
+                status=jnp.where(conv, 0, 1).astype(jnp.int32),
+                iterations=jnp.full((bsz,), opts.max_iter, jnp.int32),
+                primal_residual=r_prim, dual_residual=r_dual)
+            return x, sol, WarmStart(x=x, y=y_orig, z=Cxs + z)
+
+        return lambda plan_b, x0_b, warm_b: stepb_gen_fused(
+            plan_b, C_pre, E_pre, rho_pre, K_pre, Kinv_pre, seed_map,
+            x0_b, warm_b)
 
     @jax.jit
     def stepb_gen(plan_b, C, E, rho_vec, K, Kinv, seed, x0_b, warm_b):

@@ -156,6 +156,41 @@ def test_plan_step_fused_shared_plan_matches_xla_step():
     assert (np.asarray(sol2.status) == np.asarray(sol1.status)).all()
 
 
+def test_plan_step_general_shared_fused_matches_xla():
+    """SHARED general plan + use_fused=True routes through the shared
+    general Pallas kernel (Kinv/K/C/rho VMEM-resident, lane-blocked MXU
+    GEMMs) and matches the vmapped XLA path lane for lane."""
+    system, costs, constraints = full_setup()
+    system = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if hasattr(a, "astype") else a,
+        system)
+    costs = tuple(jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), c) for c in costs)
+    constraints = tuple(jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32), c) for c in constraints)
+    batch = 5
+    rng = np.random.default_rng(4)
+    x0s = (SMALL_X0[None] + rng.normal(scale=[0.02, 0.1], size=(batch, 2))
+           ).astype(np.float32)
+    plan = make_control_plan(system, costs, constraints)  # ONE shared plan
+    opts = ct.SolverOptions(max_iter=300, polish=False)
+    step_xla = make_plan_step(plan, opts, batched=True, use_fused=False,
+                              seed_center=x0s.mean(0))
+    step_fus = make_plan_step(plan, opts, batched=True, use_fused=True,
+                              seed_center=x0s.mean(0))
+    warm1 = warm2 = None
+    for t in range(2):
+        x0t = jnp.asarray(x0s + 0.01 * t)
+        U1, sol1, warm1 = step_xla(plan, x0t, warm1)
+        U2, sol2, warm2 = step_fus(plan, x0t, warm2)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sol2.dual_residual),
+                               np.asarray(sol1.dual_residual),
+                               rtol=1e-2, atol=1e-5)
+    assert (np.asarray(sol2.status) == np.asarray(sol1.status)).all()
+
+
 def test_plan_step_general_batched():
     """Batched general-constraint plan step vs per-lane solve_qp."""
     system, costs, constraints = full_setup()
