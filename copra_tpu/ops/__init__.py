@@ -7,6 +7,10 @@ operator is small enough to live in VMEM for the whole iteration loop, so a
 fused kernel reads it from HBM once instead of once per iteration.
 """
 
-from .admm_kernel import fused_admm_box, fused_admm_general
+from .admm_kernel import (fused_admm_box, fused_admm_box_shared,
+                          fused_admm_general, fused_admm_general_shared,
+                          xla_admm_box)
 
-__all__ = ["fused_admm_box", "fused_admm_general"]
+__all__ = ["fused_admm_box", "fused_admm_box_shared",
+           "fused_admm_general", "fused_admm_general_shared",
+           "xla_admm_box"]
