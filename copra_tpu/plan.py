@@ -118,6 +118,31 @@ def plan_trajectory(plan: ControlPlan, x0: Array, U: Array) -> Array:
     return plan.Phi @ x0 + plan.Psi @ U + plan.xi
 
 
+def warn_if_emulated_f64(dtype, where: str, backend: str = None) -> bool:
+    """Warn when a SERVING path is being built in f64 on a TPU backend.
+
+    f64 on TPU is software-emulated: the config-2 bench silently ran its
+    whole general line through emulation because bare-numpy cost data
+    under x64 promoted the plan to f64 — 17.6k solves/s vs 143.5k once
+    the data was pinned to f32 (docs/PERFORMANCE.md).  Accuracy does not
+    require an f64 pipeline: the accurate serving path gets its f64
+    exactness from the host-built seed map and the f64 combine, with f32
+    kernels in between.  Returns True when the warning fired.
+    """
+    import warnings
+
+    backend = backend or jax.default_backend()
+    if backend in ("tpu", "axon") and jnp.dtype(dtype) == jnp.float64:
+        warnings.warn(
+            f"{where}: building a float64 serving path on a TPU backend — "
+            f"f64 is software-emulated there (measured ~8x slower on the "
+            f"general plan path).  Pin your system/cost/constraint data "
+            f"to float32; the f64-exact seed/combine machinery preserves "
+            f"accuracy.", stacklevel=3)
+        return True
+    return False
+
+
 def _jacobi_inverse(Mat: Array) -> Array:
     """Symmetric-Jacobi-preconditioned explicit inverse (f32-safe)."""
     S = 1.0 / jnp.sqrt(jnp.diagonal(Mat))
@@ -579,6 +604,7 @@ def make_plan_step(plan: ControlPlan,
     to their exact bound values in f64.
     """
     box_only = plan.Aeq.shape[-2] == 0 and plan.Aineq.shape[-2] == 0
+    warn_if_emulated_f64(plan.Q.dtype, "make_plan_step")
     # accurate path: the fused kernel (interpret-mode on CPU) stays the
     # default everywhere so tests exercise the production kernel; an
     # EXPLICIT use_fused=False selects the XLA twin (shared-plan GEMM

@@ -156,6 +156,20 @@ def test_plan_step_fused_shared_plan_matches_xla_step():
     assert (np.asarray(sol2.status) == np.asarray(sol1.status)).all()
 
 
+def test_f64_on_tpu_backend_warns():
+    """The config-2 trap: an f64 serving plan on a TPU backend warns
+    (f64 is emulated there; measured 8x on the general path)."""
+    import warnings
+    from copra_tpu.plan import warn_if_emulated_f64
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fired = warn_if_emulated_f64(jnp.float64, "test", backend="tpu")
+        assert fired and rec and "emulated" in str(rec[-1].message)
+        assert not warn_if_emulated_f64(jnp.float32, "test", backend="tpu")
+        assert not warn_if_emulated_f64(jnp.float64, "test", backend="cpu")
+
+
 def test_plan_step_general_shared_fused_matches_xla():
     """SHARED general plan + use_fused=True routes through the shared
     general Pallas kernel (Kinv/K/C/rho VMEM-resident, lane-blocked MXU
