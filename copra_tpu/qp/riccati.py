@@ -1072,6 +1072,8 @@ def make_stagewise_step(sqp: StagewiseQP,
             "lane-vectorized sweeps.  Use backend='xla' for the "
             "associative-scan (O(log N) depth) path, or drop "
             "parallel_scan for the fused kernel.")
+    from ..plan import warn_if_emulated_f64
+    warn_if_emulated_f64(sqp.A.dtype, "make_stagewise_step")
     if cold_options is None:
         cold_options = options.replace(max_iter=10 * options.max_iter)
     batched = sqp.A.ndim == 4
