@@ -27,6 +27,13 @@ import numpy as np
 
 def main():
     import jax
+    if os.environ.get("BENCH_FORCE_CPU") or \
+            "--xla_force_host_platform_device_count" in \
+            os.environ.get("XLA_FLAGS", ""):
+        # a VIRTUAL CPU mesh was requested: the axon plugin overrides the
+        # JAX_PLATFORMS env var, so force CPU through the config (the
+        # CLAUDE.md invariant) or the harness silently sees 1 real chip
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.devices()
     except RuntimeError:
