@@ -1356,6 +1356,11 @@ def make_stagewise_multistep(sqp: StagewiseQP,
         return xs_out, u0s, statuses, last, wT
 
     def step_many(x0, n_ticks: int, warm=None, x0_seq=None):
+        if x0_seq is not None and x0_seq.shape[0] != int(n_ticks):
+            raise ValueError(
+                f"x0_seq has {x0_seq.shape[0]} ticks but n_ticks="
+                f"{int(n_ticks)}; the exogenous stream defines the chain "
+                f"length — pass matching values.")
         if not batched:
             x0 = x0[None]
             if x0_seq is not None:
