@@ -526,6 +526,49 @@ def main():
                                         for n, s in top]
 
     if mode == "accurate" and not os.environ.get("BENCH_CHILD") \
+            and os.environ.get("BENCH_CHAINED", "1") != "0":
+        # dispatch-free chained serving (make_plan_multistep): the same
+        # T-tick exogenous stream in ONE dispatch — wall/tick equals the
+        # device time; gate the final chained tick like the headline
+        try:
+            from copra_tpu.plan import make_plan_multistep
+
+            step_many = make_plan_multistep(
+                plan, opts, seed_center=x0s,
+                accurate_rounds=int(os.environ.get("BENCH_ROUNDS", "1")))
+            x0_chain = jnp.stack([x0_seq[2 + t] for t in range(steps)])
+            usc, stc, rdc, warmc = step_many(x0_chain)
+            jax.block_until_ready(usc)
+            t0 = time.perf_counter()
+            usc, stc, rdc, warmc = step_many(x0_chain, warmc)
+            jax.block_until_ready(usc)
+            chained = batch * steps / (time.perf_counter() - t0)
+            out["chained_solves_per_s"] = round(chained, 1)
+            out["chained_converged_frac"] = float(
+                np.mean(np.asarray(stc) == 0))
+            errs_c = []
+            x0c_last = np.asarray(x0_chain[-1], np.float64)
+            for lane in (0, 1, 17, batch - 1):
+                Q64 = np.asarray(plan.Q[lane], np.float64)
+                c64 = (np.asarray(plan.c0[lane], np.float64)
+                       + x0c_last[lane]
+                       @ np.asarray(plan.Cmap[lane], np.float64))
+                n0 = Q64.shape[-1]
+                from copra_tpu.qp.native import solve_qp_native
+                exact = solve_qp_native(ct.DenseQP(
+                    Q=Q64, c=c64,
+                    Aeq=np.zeros((0, n0)), beq=np.zeros((0,)),
+                    Aineq=np.zeros((0, n0)), bineq=np.zeros((0,)),
+                    lb=np.asarray(plan.lb[lane], np.float64),
+                    ub=np.asarray(plan.ub[lane], np.float64)))
+                errs_c.append(float(np.abs(
+                    np.asarray(usc[-1][lane], np.float64)
+                    - np.asarray(exact.x)).max()))
+            out["chained_max_err_vs_exact"] = float(f"{max(errs_c):.3g}")
+        except Exception as exc:                  # noqa: BLE001
+            out["chained_point"] = f"FAILED: {type(exc).__name__}: {exc}"
+
+    if mode == "accurate" and not os.environ.get("BENCH_CHILD") \
             and os.environ.get("BENCH_ROOFLINE", "1") != "0":
         # the gated roofline operating point rides the same JSON line
         try:

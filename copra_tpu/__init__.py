@@ -31,8 +31,8 @@ from .costs import (ControlCost, CostFunction, MixedCost, SimpleControlCost,
 from .errors import (CopraError, DimensionError, InfeasibleProblemError,
                      InitializationError, SolverError)
 from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
-from .plan import (ControlPlan, make_control_plan, make_plan_step, plan_qp,
-                   plan_trajectory)
+from .plan import (ControlPlan, make_control_plan, make_plan_multistep,
+                   make_plan_step, plan_qp, plan_trajectory)
 from .qp.admm import solve_qp, solve_qp_batched
 from .qp.riccati import (StagewiseQP, lqr_solve, lqr_solve_assoc,
                          make_stagewise_multistep, make_stagewise_step,
@@ -50,7 +50,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "LMPC", "MPCResult", "build_qp", "solve_mpc", "HESSIAN_RIDGE",
-    "ControlPlan", "make_control_plan", "make_plan_step", "plan_qp",
+    "ControlPlan", "make_control_plan", "make_plan_step",
+    "make_plan_multistep", "plan_qp",
     "plan_trajectory",
     "LTISystem", "LTVSystem", "Preview", "condense", "condense_lti",
     "condense_lti_assoc", "condense_ltv", "condense_ltv_assoc",

@@ -430,3 +430,50 @@ def test_accurate_step_saturated_refinement():
     lane = int(sol1.failed_lanes(1)[0])
     ex = _exact_box(plan, lane, np.asarray(x0_far)[lane])
     assert np.abs(np.asarray(U1[lane]) - ex).max() > 1e-4
+
+
+def test_plan_multistep_matches_per_tick_loop():
+    """make_plan_multistep: T exogenous-stream ticks in ONE dispatch ==
+    the per-tick accurate path, tick for tick (incl. warm threading)."""
+    from copra_tpu.plan import make_plan_multistep
+
+    system = ct.LTISystem.create(A.astype(np.float32), B.astype(np.float32),
+                                 D.astype(np.float32),
+                                 SMALL_X0.astype(np.float32), SMALL_N)
+    costs = (ct.TargetCost.create(M.astype(np.float32),
+                                  XD.astype(np.float32),
+                                  weights=WX.astype(np.float32)),
+             ct.ControlCost.create(N_MAT.astype(np.float32),
+                                   UD.astype(np.float32),
+                                   weights=WU.astype(np.float32)))
+    constraints = (ct.ControlBoundConstraint.create(
+        U_LOWER.astype(np.float32), U_UPPER.astype(np.float32)),)
+    batch, T = 4, 3
+    rng = np.random.default_rng(5)
+    x0s = (SMALL_X0[None] + rng.normal(scale=[0.02, 0.1], size=(batch, 2))
+           ).astype(np.float32)
+    x0_seq = jnp.asarray(
+        x0s[None] + rng.normal(scale=0.01, size=(T, batch, 2))
+        .astype(np.float32).cumsum(0))
+    plan = jax.vmap(lambda x0: make_control_plan(
+        system.with_x0(x0), costs, constraints))(jnp.asarray(x0s))
+    opts = ct.SolverOptions(max_iter=60)
+
+    step_many = make_plan_multistep(plan, opts, seed_center=x0s,
+                                    accurate_rounds=2)
+    us, statuses, rds, warm = step_many(x0_seq)
+    assert us.shape == (T, batch, SMALL_N)
+
+    step = make_plan_step(plan, opts, batched=True, seed_center=x0s,
+                          accurate=True, accurate_rounds=2)
+    w = None
+    for t in range(T):
+        u_t, sol_t, w = step(plan, x0_seq[t], w)
+        np.testing.assert_allclose(np.asarray(us[t]), np.asarray(u_t),
+                                   atol=1e-12)
+        assert (np.asarray(statuses[t])
+                == np.asarray(sol_t.status)).all()
+    for a, b in zip(jax.tree_util.tree_leaves(warm),
+                    jax.tree_util.tree_leaves(w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)
