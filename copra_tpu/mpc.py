@@ -159,18 +159,22 @@ class LMPC:
         self._solve_time = 0.0
         self._build_and_solve_time = 0.0
         self._jitted = None
+        self._jitted_opts = None
+        self._deadline = None
 
     # ---- solver selection (reference LMPC.h:61-67) ----
     def select_qp_solver(self, name: str) -> None:
         self._solver_fn = get_solver(name)
         self._solver_name = name
         self._jitted = None
+        self._deadline = None
 
     def use_solver(self, fn: Callable) -> None:
         """Inject a custom solve callable (reference ``useSolver``)."""
         self._solver_fn = fn
         self._solver_name = "<custom>"
         self._jitted = None
+        self._deadline = None
 
     @property
     def options(self) -> SolverOptions:
@@ -180,12 +184,14 @@ class LMPC:
     def options(self, opts: SolverOptions) -> None:
         self._options = opts
         self._jitted = None
+        self._deadline = None
 
     # ---- system swap (reference initializeController, LMPC.h:74) ----
     def initialize_controller(self, system: System) -> None:
         self._system = system
         self._preview = condense(system)
         self._jitted = None
+        self._deadline = None
 
     @property
     def system(self) -> System:
@@ -200,6 +206,7 @@ class LMPC:
         cost.validate(self._preview)
         self._costs.append(cost)
         self._jitted = None
+        self._deadline = None
         return cost
 
     def add_constraint(self, constr: Constraint) -> Constraint:
@@ -216,23 +223,28 @@ class LMPC:
             object.__setattr__(constr, "_consumed", True)
         self._constraints.append(constr)
         self._jitted = None
+        self._deadline = None
         return constr
 
     def remove_cost(self, cost: CostFunction) -> None:
         self._costs = [c for c in self._costs if c is not cost]
         self._jitted = None
+        self._deadline = None
 
     def remove_constraint(self, constr: Constraint) -> None:
         self._constraints = [c for c in self._constraints if c is not constr]
         self._jitted = None
+        self._deadline = None
 
     def reset_costs(self) -> None:
         self._costs = []
         self._jitted = None
+        self._deadline = None
 
     def reset_constraints(self) -> None:
         self._constraints = []
         self._jitted = None
+        self._deadline = None
 
     @property
     def costs(self) -> Tuple[CostFunction, ...]:
@@ -243,9 +255,8 @@ class LMPC:
         return tuple(self._constraints)
 
     # ---- solve path (reference LMPC::solve, src/LMPC.cpp:112-128) ----
-    def _build_jitted(self):
+    def _pipeline_for(self, options: SolverOptions):
         solver_fn = self._solver_fn
-        options = self._options
 
         def _pipeline(system, costs, constraints, warm):
             return solve_mpc(system, costs, constraints, options, warm,
@@ -256,6 +267,85 @@ class LMPC:
         if getattr(solver_fn, "host_only", False):
             return _pipeline
         return jax.jit(_pipeline)
+
+    def _calibrate_deadline(self) -> dict:
+        """Measure this problem's iters/ms conversion for the
+        ``max_wall_time_ms`` budget (qpOASES ``maxCpuTime`` analog,
+        ``/root/reference/src/solvers/qpOASESSolver.cpp:108-111``).
+
+        A traced deadline is impossible on TPU (one compiled program, no
+        clock reads), so the budget is enforced by measurement: time two
+        fixed-iteration-count solves of the ACTUAL registered problem,
+        derive the marginal wall ms/iteration and the per-dispatch
+        overhead (compile excluded; dispatch/transfer included — a
+        real-time caller pays those too), and precompute the iteration
+        budget that fits.  Re-runs when the registry changes.
+        """
+        budget_ms = float(self._options.max_wall_time_ms)
+        lo_i, hi_i = 16, 116
+        args = (self._system, tuple(self._costs),
+                tuple(self._constraints), None)
+        wall = {}
+        for n in (lo_i, hi_i):
+            popts = self._options.replace(
+                max_iter=n, early_exit=False, max_wall_time_ms=None,
+                print_level=0, infeasibility_detection=False)
+            fn = self._pipeline_for(popts)
+            jax.block_until_ready(fn(*args))      # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            wall[n] = (time.perf_counter() - t0) * 1e3
+        marginal = max((wall[hi_i] - wall[lo_i]) / (hi_i - lo_i), 1e-7)
+        overhead = max(wall[lo_i] - marginal * lo_i, 0.0)
+        budget_iters = int((budget_ms - overhead) / marginal)
+        budget_iters = max(1, min(budget_iters, self._options.max_iter))
+        return {"budget_ms": budget_ms,
+                "marginal_ms_per_iter": marginal,
+                "overhead_ms": overhead,
+                "budget_iters": budget_iters,
+                "probe_wall_ms": wall}
+
+    def deadline_info(self) -> Optional[dict]:
+        """The measured ``max_wall_time_ms`` calibration (None until the
+        first deadline-budgeted solve): marginal ms/iteration, dispatch
+        overhead, and the derived iteration budget."""
+        return self._deadline
+
+    def _effective_options(self) -> SolverOptions:
+        opts = self._options
+        if opts.max_wall_time_ms is None:
+            return opts
+        if self._deadline is None:
+            self._deadline = self._calibrate_deadline()
+        return opts.replace(max_iter=self._deadline["budget_iters"],
+                            max_wall_time_ms=None)
+
+    def _report(self, sol: QPSolution, ok: bool) -> None:
+        """``print_level`` solve-time verbosity (reference
+        ``SI_printLevel`` 0-3, ``src/solvers/qpOASESSolver.cpp:43-60``;
+        level-3 table mirrors ``src/solvers/QLDSolver.cpp:26-58``)."""
+        level = self._options.print_level
+        if level <= 0 or (level == 1 and ok):
+            return
+        import logging
+
+        import numpy as np
+
+        from .qp.types import STATUS_EXPLANATIONS, STATUS_MESSAGES
+
+        log = logging.getLogger("copra_tpu.lmpc")
+        log.log(logging.INFO if ok else logging.WARNING,
+                "solve (%.3f ms): %s", self._solve_time * 1e3,
+                sol.inform())
+        if level >= 3:
+            for code in sorted(set(np.asarray(sol.status).reshape(-1)
+                                   .tolist())):
+                log.info("  status %d (%s): %s", code,
+                         STATUS_MESSAGES.get(code, "?"),
+                         STATUS_EXPLANATIONS.get(code, ""))
+            worst = sol.failed_lanes(10)
+            if worst:
+                log.info("  worst failed lanes: %s", worst)
 
     def solve(self, warm_start: bool = False) -> bool:
         """Build the QP and solve it; returns success like the reference.
@@ -269,8 +359,10 @@ class LMPC:
         then cheap per-tick steps).
         """
         t0 = time.perf_counter()
-        if self._jitted is None:
-            self._jitted = self._build_jitted()
+        opts = self._effective_options()
+        if self._jitted is None or self._jitted_opts != opts:
+            self._jitted = self._pipeline_for(opts)
+            self._jitted_opts = opts
         warm = self._warm if warm_start else None
         t1 = time.perf_counter()
         result = self._jitted(self._system, tuple(self._costs),
@@ -282,7 +374,9 @@ class LMPC:
         self._warm = WarmStart(x=sol.x, y=sol.y, z=sol.z)
         self._solve_time = t2 - t1
         self._build_and_solve_time = t2 - t0
-        return bool(jnp.all(sol.status == 0))
+        ok = bool(jnp.all(sol.status == 0))
+        self._report(sol, ok)
+        return ok
 
     # ---- results (reference LMPC.h:87-117) ----
     def control(self) -> Array:

@@ -545,10 +545,14 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         on_up = x64 >= ub64
         on_lo = x64 <= lb64
         # at the upper bound optimality needs grad <= 0 (the objective
-        # pushes up, the bound holds it); at the lower, grad >= 0
-        kkt = jnp.where(on_up, jnp.maximum(grad, 0.0),
-                        jnp.where(on_lo, jnp.maximum(-grad, 0.0),
-                                  jnp.abs(grad)))
+        # pushes up, the bound holds it); at the lower, grad >= 0;
+        # lb==ub pins the coordinate — any gradient sign is optimal
+        # there (ADVICE r3: the nested where used to take only the
+        # on_up branch and flag pinned coordinates as unconverged)
+        kkt = jnp.where(on_up & on_lo, 0.0,
+                        jnp.where(on_up, jnp.maximum(grad, 0.0),
+                                  jnp.where(on_lo, jnp.maximum(-grad, 0.0),
+                                            jnp.abs(grad))))
         r_dual = jnp.max(kkt, axis=-1)
         r_prim = jnp.max(jnp.abs(e - ze), axis=-1)   # diagnostic only
         eps_floor = 25.0 * float(jnp.finfo(f32).eps)

@@ -274,9 +274,15 @@ def from_mpc(system: System,
         except Exception:               # tracer: no concrete values
             return
         v = np.einsum("rx,...x->...r", E0c, x0c)
-        scale = max(1.0, float(np.abs(f0c).max(initial=0.0)),
+        # intentionally unbounded rows (±inf in f) must not poison the
+        # scale/tolerance for the finite rows (ADVICE r3): mask them out
+        fin = np.isfinite(f0c)
+        if not fin.any():
+            return
+        scale = max(1.0, float(np.abs(f0c[fin]).max(initial=0.0)),
                     float(np.abs(v).max(initial=0.0)))
         gap = (v - f0c) if is_ineq else np.abs(v - f0c)
+        gap = np.where(np.broadcast_to(fin, gap.shape), gap, -np.inf)
         worst = float(gap.max(initial=-np.inf))
         if worst > 1e-6 * scale:
             kind = "E x_0 <= f" if is_ineq else "E x_0 = f"
@@ -854,7 +860,15 @@ def solve_stagewise(sqp: StagewiseQP,
 
         def body(carry):
             state, done, iters, code, pend = carry
-            state, _ = lax.scan(one_iter, state, None, length=chunk)
+            # clamp the final chunk so the total never overruns
+            # options.max_iter when check_interval doesn't divide it
+            # (ADVICE r3: max_iter=45, interval=10 used to run 50)
+            todo = jnp.minimum(jnp.asarray(chunk, jnp.int32),
+                               jnp.asarray(options.max_iter, jnp.int32)
+                               - iters)
+            state = lax.fori_loop(
+                jnp.asarray(0, jnp.int32), todo,
+                lambda _, s: one_iter(s, None)[0], state)
             r_p, r_d = state_residuals(state)
             conv = (r_p <= eps) & (r_d <= eps * d_scale)
             if options.infeasibility_detection:
@@ -866,7 +880,7 @@ def solve_stagewise(sqp: StagewiseQP,
             confirmed = jnp.where((infeas > 0) & (infeas == pend),
                                   infeas, 0)
             return (state, conv | (confirmed > 0),
-                    iters + jnp.asarray(chunk, jnp.int32),
+                    iters + todo,
                     jnp.maximum(code, confirmed), infeas)
 
         carry = (init, jnp.asarray(False), jnp.zeros((), jnp.int32),
@@ -1037,6 +1051,31 @@ def stack_stagewise(sqps: Sequence[StagewiseQP],
         *sqps)
 
 
+def _resolve_auto_backend(sqp: StagewiseQP, parallel_scan: bool) -> str:
+    """Resolve ``backend='auto'`` for the stagewise serving facades.
+
+    Fused on TPU, XLA elsewhere — but the fused tick kernel has a hard
+    scale envelope (:func:`~copra_tpu.ops.stagewise_kernel.
+    check_fused_envelope`); when 'auto' would land outside it, degrade
+    to the XLA scan path with a warning instead of raising (an explicit
+    ``backend='fused'`` still raises — ADVICE r3, medium).
+    """
+    if parallel_scan or jax.default_backend() not in ("tpu", "axon"):
+        return "xla"
+    from ..ops.stagewise_kernel import check_fused_envelope
+    try:
+        check_fused_envelope(sqp.horizon, sqp.xdim, sqp.udim,
+                             sqp.nr_rows, sqp.A.dtype)
+    except ValueError as e:
+        import warnings
+        warnings.warn(
+            f"backend='auto': the fused stagewise tick kernel cannot "
+            f"serve this problem size; falling back to backend='xla'. "
+            f"({e})", RuntimeWarning, stacklevel=3)
+        return "xla"
+    return "fused"
+
+
 def make_stagewise_step(sqp: StagewiseQP,
                         options: SolverOptions = SolverOptions(),
                         cold_options: Optional[SolverOptions] = None,
@@ -1078,8 +1117,7 @@ def make_stagewise_step(sqp: StagewiseQP,
         cold_options = options.replace(max_iter=10 * options.max_iter)
     batched = sqp.A.ndim == 4
     if backend == "auto":
-        backend = ("fused" if jax.default_backend() in ("tpu", "axon")
-                   and not parallel_scan else "xla")
+        backend = _resolve_auto_backend(sqp, parallel_scan)
 
     if backend == "fused":
         from ..ops.stagewise_kernel import (build_fused_plan,
@@ -1280,11 +1318,20 @@ def make_stagewise_multistep(sqp: StagewiseQP,
       control — the perfect-model closed loop of
       :func:`copra_tpu.receding.closed_loop`, on the stagewise engine.
 
-    Returns ``(states [n_ticks+1, B, x], U0s [n_ticks, B, u],
-    statuses [n_ticks, B], info, warm)`` — ``info`` is the final tick's
-    full :class:`QPSolution` (per-tick honesty: ``statuses`` carries
-    every tick's per-lane status).  ``n_ticks`` is a static compile-time
-    constant (one compilation per distinct value).
+    Returns ``(states, U0s, statuses, info, warm)`` — ``info`` is the
+    final tick's full :class:`QPSolution` (per-tick honesty:
+    ``statuses`` carries every tick's per-lane status).  ``n_ticks`` is
+    a static compile-time constant (one compilation per distinct value).
+
+    **Rollout pairing** (ADVICE r3): the returned arrays always form a
+    consistent closed-loop rollout, ``states[k+1] == plant(states[k],
+    U0s[k])``.  In plant mode with ``warm=None`` the leading cold tick's
+    applied control is therefore INCLUDED: ``states`` is
+    ``[n_ticks+2, B, x]``, ``U0s``/``statuses`` are ``[n_ticks+1, ...]``
+    (entry 0 = the cold tick).  With a carried ``warm`` (or in
+    ``x0_seq`` mode, where the cold tick is a warm-up solve at
+    ``x0_seq[0]`` superseded by the chain's own tick at the same state)
+    the shapes are ``[n_ticks+1]`` / ``[n_ticks]``.
     """
     if backend == "fused" and parallel_scan:
         raise ValueError(
@@ -1296,8 +1343,7 @@ def make_stagewise_multistep(sqp: StagewiseQP,
     sqp_b = (sqp if batched
              else jax.tree_util.tree_map(lambda a: a[None], sqp))
     if backend == "auto":
-        backend = ("fused" if jax.default_backend() in ("tpu", "axon")
-                   and not parallel_scan else "xla")
+        backend = _resolve_auto_backend(sqp, parallel_scan)
     # leading cold tick reuses the single-tick facade (same budgets)
     cold_tick = make_stagewise_step(sqp_b, options,
                                     cold_options=cold_options,
@@ -1367,6 +1413,7 @@ def make_stagewise_multistep(sqp: StagewiseQP,
                 x0_seq = x0_seq[:, None]
         exogenous = x0_seq is not None
         states0 = x0_seq[0] if exogenous else x0
+        cold = None
         if warm is None:
             # leading cold tick (its own dispatch — the one-time setup);
             # cold_tick is built over the BATCHED sqp_b, so states0
@@ -1374,9 +1421,17 @@ def make_stagewise_multistep(sqp: StagewiseQP,
             Xc, Uc, infoc, warm = cold_tick(states0)
             if not exogenous:
                 x0 = plant(x0, Uc)
+                cold = (Uc[:, 0], infoc.status)
         xs_out, u0s, statuses, (X, U, info), warm = run_chain(
             plan_w, sqp_b, x0, warm, x0_seq,
             n_ticks=int(n_ticks), exogenous=exogenous)
+        if cold is not None:
+            # the cold tick's control WAS applied to the plant — return
+            # it so (states, u0s) pairs form a consistent rollout
+            # (ADVICE r3); x0 here is already the post-cold-tick state
+            u0s = jnp.concatenate([cold[0][None], u0s], axis=0)
+            statuses = jnp.concatenate([cold[1][None], statuses], axis=0)
+            xs_out = jnp.concatenate([x0[None], xs_out], axis=0)
         states = jnp.concatenate([states0[None], xs_out], axis=0)
         if not batched:
             states, u0s, statuses = states[:, 0], u0s[:, 0], statuses[:, 0]

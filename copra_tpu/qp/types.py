@@ -262,6 +262,22 @@ class SolverOptions:
     #                               pressure across rows)
     kkt_refine: int = -1          # refinement steps in the inverse KKT
     #                               solve; -1 = auto (1 in f32, 0 in f64)
+    max_wall_time_ms: Optional[float] = None
+    # Wall-clock solve budget (reference analog: qpOASES ``maxCpuTime``,
+    # /root/reference/include/copra/solvers/qpOASESSolver.h:48-54).  A
+    # TRACED deadline is impossible on TPU — the whole solve is one
+    # compiled XLA program with no clock reads — so the budget is
+    # honored by MEASUREMENT: the LMPC facade times two fixed-count
+    # probe solves of the actual problem, derives the marginal ms/iter
+    # and the per-dispatch overhead, and clamps ``max_iter`` so the
+    # dispatch fits the budget (see ``LMPC.deadline_info()``).
+    print_level: int = 0
+    # Solve-time verbosity 0-3 (reference analog: ``SI_printLevel``,
+    # /root/reference/src/solvers/qpOASESSolver.cpp:43-60), consumed by
+    # the host facades (traced code cannot print):
+    #   0 silent; 1 failures only; 2 per-solve inform() summary;
+    #   3 verbose per-status explanation table + worst failed lanes
+    #     (the QLDSolver.cpp:26-58 style table).
 
     def replace(self, **kw) -> "SolverOptions":
         return dataclasses.replace(self, **kw)

@@ -48,9 +48,11 @@ def test_multistep_matches_per_tick_loop_plant(backend):
     step_many = make_stagewise_multistep(sqp_b, opts, cold_options=copts,
                                          backend=backend)
     states, u0s, statuses, info, warm = step_many(x0s, T)
-    assert states.shape == (T + 1, 3, 2)
-    assert u0s.shape == (T, 3, 1)
-    assert statuses.shape == (T, 3)
+    # plant mode + cold start: the cold tick's applied control is entry 0
+    # (ADVICE r3 — states[k+1] == plant(states[k], u0s[k]) throughout)
+    assert states.shape == (T + 2, 3, 2)
+    assert u0s.shape == (T + 1, 3, 1)
+    assert statuses.shape == (T + 1, 3)
 
     # reference: the per-tick loop with the identical plant applied
     tick = make_stagewise_step(sqp_b, opts, cold_options=copts,
@@ -63,16 +65,22 @@ def test_multistep_matches_per_tick_loop_plant(backend):
 
     xk = x0s
     Xr, Ur, infor, warmr = tick(xk)          # leading cold tick
+    np.testing.assert_allclose(np.asarray(u0s[0]),
+                               np.asarray(Ur[:, 0]), atol=1e-12)
+    assert (np.asarray(statuses[0]) == np.asarray(infor.status)).all()
     xk = plant(xk, Ur)
     np.testing.assert_allclose(np.asarray(states[0]), np.asarray(x0s))
+    np.testing.assert_allclose(np.asarray(states[1]), np.asarray(xk),
+                               atol=1e-12)
     for t in range(T):
         Xr, Ur, infor, warmr = tick(xk, warmr)
-        np.testing.assert_allclose(np.asarray(u0s[t]),
+        np.testing.assert_allclose(np.asarray(u0s[t + 1]),
                                    np.asarray(Ur[:, 0]), atol=1e-12)
         xk = plant(xk, Ur)
-        np.testing.assert_allclose(np.asarray(states[t + 1]),
+        np.testing.assert_allclose(np.asarray(states[t + 2]),
                                    np.asarray(xk), atol=1e-12)
-        assert (np.asarray(statuses[t]) == np.asarray(infor.status)).all()
+        assert (np.asarray(statuses[t + 1])
+                == np.asarray(infor.status)).all()
     # final-tick full solution and warm tuple match too
     np.testing.assert_allclose(np.asarray(info.x), np.asarray(infor.x),
                                atol=1e-12)
@@ -113,10 +121,14 @@ def test_multistep_unbatched_facade():
         sqp, ct.SolverOptions(max_iter=30, rho=0.1), backend="xla")
     T = 3
     states, u0s, statuses, info, warm = step_many(sqp.x0, T)
-    assert states.shape == (T + 1, 2)
-    assert u0s.shape == (T, 1)
-    assert statuses.shape == (T,)
+    assert states.shape == (T + 2, 2)        # cold tick included
+    assert u0s.shape == (T + 1, 1)
+    assert statuses.shape == (T + 1,)
     assert info.x.shape == (SMALL_N,)
+    # a warm continuation has no leading cold tick: plain [T] shapes
+    states2, u0s2, statuses2, _, _ = step_many(states[-1], T, warm=warm)
+    assert states2.shape == (T + 1, 2)
+    assert u0s2.shape == (T, 1)
 
 
 def test_multistep_fused_interpret_matches_xla():
