@@ -15,19 +15,34 @@ no cross-device communication in the solve, so on real chips the expected
 efficiency is near 1.0 (the only traffic is the replicated cost broadcast
 and the psum of a handful of scalars per step).
 
+Contention control (VERDICT r3 #6): raw per-device efficiency on a
+virtual mesh conflates communication with host-core contention.  For each
+mesh size K this harness ALSO runs K independent single-device processes
+concurrently on the same host (``--worker`` mode, start-synchronized over
+stdin) solving the same per-device workload with zero communication by
+construction; their aggregate throughput is the pure core-contention
+ceiling, and ``efficiency_vs_contention_ceiling`` is the mesh throughput
+normalized by THAT curve.  ~1.0 means the mesh path adds nothing on top
+of contention; well below 1.0 would falsify the contention explanation.
+
 Prints one JSON line per mesh size plus a final efficiency summary.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _setup_jax(force_single_cpu: bool = False):
     import jax
-    if os.environ.get("BENCH_FORCE_CPU") or \
+    if force_single_cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 1)
+    elif os.environ.get("BENCH_FORCE_CPU") or \
             "--xla_force_host_platform_device_count" in \
             os.environ.get("XLA_FLAGS", ""):
         # a VIRTUAL CPU mesh was requested: the axon plugin overrides the
@@ -43,15 +58,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _workload():
+    """(costs, constraints, fleet) — shared by the mesh run and the
+    contention-control workers so both solve the identical per-device
+    problem."""
     import jax.numpy as jnp
     import copra_tpu as ct
-    from copra_tpu.parallel import (batch_axes, make_mesh,
-                                    make_sharded_mpc_step, shard_batch)
 
-    per_device = int(os.environ.get("BENCH_PER_DEVICE", 512))
     horizon = int(os.environ.get("BENCH_HORIZON", 50))
-    iters = int(os.environ.get("BENCH_ITERS", 60))
-    steps = int(os.environ.get("BENCH_STEPS", 3))
 
     T, mass = 0.005, 5.0
     A = np.array([[1.0, T], [0.0, 1.0]])
@@ -74,6 +91,97 @@ def main():
                                     batch, 0), jnp.float32),
             x0=jnp.asarray(np.array([0.0, -1.5]) + rng.normal(
                 scale=[0.02, 0.1], size=(batch, 2)), jnp.float32))
+
+    return costs, constraints, fleet
+
+
+def worker_main():
+    """Contention-control worker: ONE cpu device, the per-device workload,
+    zero communication.  Prints READY after compile+warmup, waits for GO
+    on stdin (so all K workers measure the same concurrent window), then
+    prints one JSON line with its throughput."""
+    jax = _setup_jax(force_single_cpu=True)
+    import copra_tpu as ct
+    from copra_tpu.parallel import (batch_axes, make_mesh,
+                                    make_sharded_mpc_step, shard_batch)
+
+    per_device = int(os.environ.get("BENCH_PER_DEVICE", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 60))
+    steps = int(os.environ.get("BENCH_STEPS", 3)) * 2
+
+    costs, constraints, fleet = _workload()
+    mesh = make_mesh(devices=jax.devices()[:1])
+    system = fleet(per_device)
+    system = shard_batch(system, mesh, reference=batch_axes(system))
+    step = make_sharded_mpc_step(mesh, costs, constraints,
+                                 ct.SolverOptions(max_iter=iters))
+    res, _ = step(system, None)
+    jax.block_until_ready(res.control)
+    warm = ct.WarmStart(x=res.solution.x, y=res.solution.y,
+                        z=res.solution.z)
+    res, _ = step(system, warm)
+    jax.block_until_ready(res.control)
+
+    print("READY", flush=True)
+    line = sys.stdin.readline()
+    assert line.strip() == "GO", line
+    rates = []
+    for _ in range(3):                  # median of 3 windows
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            res, _ = step(system, warm)
+        jax.block_until_ready(res.control)
+        rates.append(per_device * steps / (time.perf_counter() - t0))
+    print(json.dumps({"solves_per_s": float(np.median(rates))}),
+          flush=True)
+
+
+def contention_ceiling(sizes):
+    """Aggregate throughput of K start-synchronized independent
+    single-device processes, per K — the pure core-contention ceiling
+    (no mesh, no collectives, separate address spaces)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # workers pin 1 device via config
+    env.pop("JAX_PLATFORMS", None)
+    ceilings = {}
+    for nd in sizes:
+        procs = [subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__), "--worker"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+            for _ in range(nd)]
+        try:
+            for p in procs:
+                assert p.stdout.readline().strip() == "READY"
+            for p in procs:                 # near-simultaneous release
+                p.stdin.write("GO\n")
+                p.stdin.flush()
+            thr = 0.0
+            for p in procs:
+                thr += json.loads(p.stdout.readline())["solves_per_s"]
+            for p in procs:
+                p.wait(timeout=60)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        ceilings[nd] = thr
+        print(json.dumps({"contention_control_processes": nd,
+                          "aggregate_solves_per_s": round(thr, 1),
+                          "per_process": round(thr / nd, 1)}))
+    return ceilings
+
+
+def main():
+    jax = _setup_jax()
+    import copra_tpu as ct
+    from copra_tpu.parallel import (batch_axes, make_mesh,
+                                    make_sharded_mpc_step, shard_batch)
+
+    per_device = int(os.environ.get("BENCH_PER_DEVICE", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 60))
+    steps = int(os.environ.get("BENCH_STEPS", 3))
+    costs, constraints, fleet = _workload()
 
     all_devices = jax.devices()
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= len(all_devices)]
@@ -112,6 +220,25 @@ def main():
         "min_efficiency": round(min(eff.values()), 3),
     }))
 
+    if all_devices[0].platform == "cpu" and \
+            not os.environ.get("BENCH_SKIP_CONTENTION"):
+        # virtual mesh on shared host cores: normalize by the measured
+        # pure-contention ceiling (K independent processes, no mesh)
+        ceilings = contention_ceiling(sizes)
+        eff_vs = {nd: results[nd] / ceilings[nd] for nd in sizes}
+        print(json.dumps({
+            "metric": "virtual-mesh efficiency vs measured core-"
+                      "contention ceiling (K independent 1-device "
+                      "processes, same workload)",
+            "efficiency_vs_contention_ceiling":
+                {str(k): round(v, 3) for k, v in eff_vs.items()},
+            "min_efficiency_vs_contention_ceiling":
+                round(min(eff_vs.values()), 3),
+        }))
+
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker_main()
+    else:
+        main()
