@@ -466,7 +466,8 @@ def config5():
     jax = _setup_jax()
     import jax.numpy as jnp
     import copra_tpu as ct
-    from copra_tpu.qp.riccati import (auto_rho_stagewise, from_mpc,
+    from copra_tpu.qp.riccati import (auto_iters_stagewise,
+                                      auto_rho_stagewise, from_mpc,
                                       solve_stagewise)
 
     horizon, T, A, B, d, zmp_row, Zfull, ref, lo, hi = _bipedal_workload()
@@ -496,15 +497,35 @@ def config5():
     opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
     # measured rho policy over the two per-axis lanes (picks 1.0 on this
     # workload — the old hand constant, now derived instead of asserted)
+    sq_stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *sq)
     opts = opts.replace(rho=float(os.environ["BENCH_RHO"])
                         if "BENCH_RHO" in os.environ
                         else auto_rho_stagewise(
-                            jax.tree_util.tree_map(
-                                lambda *ls: jnp.stack(ls), *sq),
+                            sq_stacked,
                             opts.replace(
                                 max_iter=int(os.environ.get(
                                     "BENCH_WARM_ITERS", 30))),
                             cold_options=opts))
+
+    # measured warm-iteration budget (VERDICT r3 #4): probe the applied
+    # (first) control's error per candidate against the f64 oracle and
+    # take the smallest budget meeting 1e-5; BENCH_WARM_ITERS overrides
+    if "BENCH_WARM_ITERS" in os.environ:
+        witers = int(os.environ["BENCH_WARM_ITERS"])
+        iters_probe = None
+    else:
+        witers, iters_probe = auto_iters_stagewise(
+            sq_stacked, opts, cold_options=opts,
+            candidates=(10, 20, 30, 50, 80),
+            target_applied_err=1e-5, return_probe=True)
+        _emit({"config": 5,
+               "metric": "measured warm-iteration policy "
+                         "(auto_iters_stagewise, applied-control gate)",
+               "chosen_iters": witers,
+               "target_applied_err": 1e-5,
+               "pareto": {str(k): {kk: float(f"{vv:.3g}")
+                                   for kk, vv in v.items()}
+                          for k, v in iters_probe.items()}})
 
     @jax.jit
     def tick(sqp_b, x0_b):
@@ -533,13 +554,14 @@ def config5():
 
         # honesty gates (lane 0 = x axis, lane 1 = y axis of robot 0)
         x0_last = np.asarray(x0_seq[ticks], np.float64)
-        u_err = zmp_err = viol = 0.0
+        u_err = u0_err = zmp_err = viol = 0.0
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = np.asarray(U[lane], np.float64).ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
             zmp_err = max(zmp_err, np.abs(zl - ze).max())
@@ -557,6 +579,7 @@ def config5():
                <= BUDGET_MS_CONFIG5,
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "applied_control_err": float(f"{u0_err:.3g}"),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": iters,
@@ -568,7 +591,6 @@ def config5():
     # differ by one sample so the previous active set is almost right.
     # Both a single robot (latency floor: the sequential LQR sweep) and
     # the amortized fleet (the production shape — "many robots per chip").
-    witers = int(os.environ.get("BENCH_WARM_ITERS", 30))
     wopts = opts.replace(max_iter=witers)
 
     @jax.jit
@@ -604,13 +626,14 @@ def config5():
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
         x0_last = np.asarray(x0_seq[wticks], np.float64)
-        u_err = zmp_err = viol = 0.0
+        u_err = u0_err = zmp_err = viol = 0.0
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = np.asarray(U[lane], np.float64).ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
             zmp_err = max(zmp_err, np.abs(zl - ze).max())
@@ -628,6 +651,7 @@ def config5():
                <= BUDGET_MS_CONFIG5,
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "applied_control_err": float(f"{u0_err:.3g}"),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
@@ -672,13 +696,14 @@ def config5():
         jax.block_until_ready(U)
         marg = (time.perf_counter() - t0) / K
         x0_last = np.asarray(x0_seq[wticks + K], np.float64)
-        u_err = zmp_err = viol = 0.0
+        u_err = u0_err = zmp_err = viol = 0.0
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = np.asarray(U[lane], np.float64).ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
             zmp_err = max(zmp_err, np.abs(zl - ze).max())
@@ -701,6 +726,7 @@ def config5():
                <= BUDGET_MS_CONFIG5,
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "applied_control_err": float(f"{u0_err:.3g}"),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
@@ -735,13 +761,14 @@ def config5():
         # gate the FINAL tick's full solution (solved at x0_seq[2K-1])
         x0_last = np.asarray(x0_seq[2 * K - 1], np.float64)
         U = np.asarray(info.x, np.float64).reshape(lanes, horizon, 1)
-        u_err = zmp_err = viol = 0.0
+        u_err = u0_err = zmp_err = viol = 0.0
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = U[lane].ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
             zmp_err = max(zmp_err, np.abs(zl - ze).max())
@@ -759,6 +786,7 @@ def config5():
                "within_budget_per_robot": per_tick * 1e3 / robots
                <= BUDGET_MS_CONFIG5,
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "applied_control_err": float(f"{u0_err:.3g}"),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,

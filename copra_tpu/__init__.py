@@ -34,7 +34,8 @@ from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
 from .plan import (ControlPlan, make_control_plan, make_plan_multistep,
                    make_plan_step, plan_qp, plan_trajectory)
 from .qp.admm import solve_qp, solve_qp_batched
-from .qp.riccati import (StagewiseQP, lqr_solve, lqr_solve_assoc,
+from .qp.riccati import (StagewiseQP, auto_iters_stagewise,
+                         auto_rho_stagewise, lqr_solve, lqr_solve_assoc,
                          make_stagewise_multistep, make_stagewise_step,
                          solve_mpc_stagewise, solve_stagewise,
                          stack_stagewise)
@@ -69,6 +70,7 @@ __all__ = [
     "StagewiseQP", "lqr_solve", "lqr_solve_assoc", "solve_stagewise",
     "solve_mpc_stagewise", "make_stagewise_step",
     "make_stagewise_multistep", "stack_stagewise",
+    "auto_rho_stagewise", "auto_iters_stagewise",
     "span_matrix", "span_vector",
     "CopraError", "DimensionError", "InitializationError", "SolverError",
     "InfeasibleProblemError",

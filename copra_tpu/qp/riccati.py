@@ -1226,9 +1226,12 @@ def auto_rho_stagewise(sqp: StagewiseQP,
             candidates, drift_scale, parallel_scan, return_probe)
 
 
-def _auto_rho_stagewise_impl(sqp, options, cold_options, probe_lanes,
-                             probe_steps, candidates, drift_scale,
-                             parallel_scan, return_probe):
+def _probe_setup(sqp, probe_lanes, probe_steps, drift_scale):
+    """Shared probe scaffolding for the measured serving policies
+    (:func:`auto_rho_stagewise`, :func:`auto_iters_stagewise`): sample
+    representative lanes and build a drifting receding-horizon ``x0``
+    sequence (consecutive ticks differ by one small step, the deployment
+    pattern)."""
     sqp = jax.device_put(sqp, jax.devices("cpu")[0])
     batched = sqp.A.ndim == 4
     sqp_b = (sqp if batched
@@ -1246,8 +1249,12 @@ def _auto_rho_stagewise_impl(sqp, options, cold_options, probe_lanes,
     x0_p = np.asarray(sqp_p.x0, np.float64)
     x0_seq = [jnp.asarray((x0_p + drift[t]).astype(
         np.asarray(sqp_p.x0).dtype)) for t in range(probe_steps + 1)]
+    return sqp_p, nl, x0_p, drift, x0_seq
 
-    # f64 high-budget early-exit oracle at the final probe state
+
+def _probe_exact(sqp_p, nl, x0_p, drift, options, parallel_scan):
+    """f64 high-budget early-exit oracle solves at the FINAL probe
+    state — the exactness reference every candidate is gated against."""
     def _f64(a):
         a = jnp.asarray(a)
         return (a.astype(jnp.float64)
@@ -1265,6 +1272,15 @@ def _auto_rho_stagewise_impl(sqp, options, cold_options, probe_lanes,
         _, U_e, _ = solve_stagewise(s_k, oracle_opts,
                                     parallel_scan=parallel_scan)
         exact.append(np.asarray(U_e, np.float64))
+    return exact
+
+
+def _auto_rho_stagewise_impl(sqp, options, cold_options, probe_lanes,
+                             probe_steps, candidates, drift_scale,
+                             parallel_scan, return_probe):
+    sqp_p, nl, x0_p, drift, x0_seq = _probe_setup(
+        sqp, probe_lanes, probe_steps, drift_scale)
+    exact = _probe_exact(sqp_p, nl, x0_p, drift, options, parallel_scan)
 
     probe = {}
     for cand in candidates:
@@ -1285,6 +1301,79 @@ def _auto_rho_stagewise_impl(sqp, options, cold_options, probe_lanes,
     if return_probe:
         return float(best), probe
     return float(best)
+
+
+def auto_iters_stagewise(sqp: StagewiseQP,
+                         options: SolverOptions = SolverOptions(),
+                         cold_options: Optional[SolverOptions] = None,
+                         probe_lanes: int = 2,
+                         probe_steps: int = 3,
+                         candidates=(10, 20, 30, 50, 80, 120, 200),
+                         target_applied_err: float = 1e-5,
+                         drift_scale: float = 0.002,
+                         parallel_scan: bool = False,
+                         return_probe: bool = False):
+    """Measured warm-tick ITERATION budget for receding-horizon serving
+    (VERDICT r3 #4: iters/tick was the last hand-picked serving constant
+    after ``auto_rho`` landed).
+
+    Runs the real cold+warm tick pattern over a drifting ``x0`` sequence
+    on sampled lanes, for each candidate per-tick iteration count, and
+    measures the error of the APPLIED control — ``U[0]``, the one action
+    a robot closing the loop actually executes — against the f64 exact
+    oracle at the same state.  Returns the SMALLEST candidate whose
+    applied-control error meets ``target_applied_err`` (reference bar:
+    BASELINE.md 1e-5; golden control tolerance 2e-4,
+    ``/root/reference/test/TestTimeInvariantSystems.cpp:1158-1169``); if
+    none do, the candidate with the smallest error — callers can read
+    the full measured Pareto with ``return_probe=True`` (maps candidate
+    -> ``{"applied_err": ..., "tail_err": ...}``, where ``tail_err`` is
+    the max over the whole horizon).
+
+    Probe runs on CPU with the XLA backend (update-identical to the
+    fused kernel) for the same reasons as :func:`auto_rho_stagewise`.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _auto_iters_stagewise_impl(
+            sqp, options, cold_options, probe_lanes, probe_steps,
+            candidates, target_applied_err, drift_scale, parallel_scan,
+            return_probe)
+
+
+def _auto_iters_stagewise_impl(sqp, options, cold_options, probe_lanes,
+                               probe_steps, candidates,
+                               target_applied_err, drift_scale,
+                               parallel_scan, return_probe):
+    sqp_p, nl, x0_p, drift, x0_seq = _probe_setup(
+        sqp, probe_lanes, probe_steps, drift_scale)
+    exact = _probe_exact(sqp_p, nl, x0_p, drift, options, parallel_scan)
+
+    probe = {}
+    for cand in sorted(int(c) for c in candidates):
+        opts_c = options.replace(max_iter=cand)
+        tick = make_stagewise_step(sqp_p, opts_c,
+                                   cold_options=cold_options,
+                                   parallel_scan=parallel_scan,
+                                   backend="xla")
+        warm = None
+        U = None
+        for t in range(probe_steps + 1):
+            _, U, _, warm = tick(x0_seq[t], warm)
+        U = np.asarray(jax.block_until_ready(U), np.float64)
+        probe[cand] = {
+            "applied_err": max(float(np.abs(U[k][0] - exact[k][0]).max())
+                               for k in range(nl)),
+            "tail_err": max(float(np.abs(U[k] - exact[k]).max())
+                            for k in range(nl)),
+        }
+    meeting = [c for c, e in probe.items()
+               if e["applied_err"] <= target_applied_err]
+    best = (min(meeting) if meeting
+            else min(probe, key=lambda c: probe[c]["applied_err"]))
+    if return_probe:
+        return int(best), probe
+    return int(best)
 
 
 def make_stagewise_multistep(sqp: StagewiseQP,

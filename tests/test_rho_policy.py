@@ -114,3 +114,33 @@ def test_auto_rho_stagewise_picks_converging_penalty():
         return_probe=True)
     assert probe[rho] == min(probe.values())
     assert probe[rho] < 1e-4
+
+
+def test_auto_iters_stagewise_measured_budget():
+    """Iteration-budget policy (VERDICT r3 #4): the probe measures the
+    APPLIED-control error per candidate and returns the smallest budget
+    meeting the target — monotone Pareto, honest fallback."""
+    from copra_tpu.qp.riccati import auto_iters_stagewise
+
+    system = ct.LTISystem.create(A, B, D, SMALL_X0, SMALL_N)
+    costs = (ct.TargetCost.create(M, XD, weights=WX),
+             ct.ControlCost.create(N_MAT, UD, weights=WU))
+    cons = (ct.ControlBoundConstraint.create(U_LOWER, U_UPPER),)
+    sqp = from_mpc(system, costs, cons)
+    opts = ct.SolverOptions(max_iter=60, early_exit=False, rho=0.1)
+    iters, probe = auto_iters_stagewise(
+        sqp, opts, cold_options=opts.replace(max_iter=600),
+        candidates=(5, 40, 160), probe_steps=2, drift_scale=0.01,
+        target_applied_err=1e-5, return_probe=True)
+    assert set(probe) == {5, 40, 160}
+    for e in probe.values():
+        assert e["applied_err"] <= e["tail_err"] + 1e-15
+    # more iterations must not be (meaningfully) worse at the knee
+    assert probe[160]["applied_err"] <= probe[5]["applied_err"] + 1e-9
+    if probe[iters]["applied_err"] > 1e-5:
+        # fallback: nothing met the target -> argmin applied_err
+        assert probe[iters]["applied_err"] == min(
+            e["applied_err"] for e in probe.values())
+    else:
+        smaller = [c for c in probe if c < iters]
+        assert all(probe[c]["applied_err"] > 1e-5 for c in smaller)
