@@ -261,3 +261,57 @@ def test_lmpc_as_stagewise_step():
     # warm receding tick from the carried state
     X2, U2, info2, warm = tick(jnp.asarray(SMALL_X0) + 0.01, warm)
     assert U2.shape == U.shape
+
+
+def test_fused_mode_selection():
+    """Mode policy: ZMP class -> resident; robot scale (quadruped class,
+    x=12/u=12/r=12) -> streamed; beyond both -> guidance error."""
+    from copra_tpu.ops.stagewise_kernel import fused_mode
+    assert fused_mode(300, 3, 1, 2, jnp.float32) == "resident"
+    assert fused_mode(100, 12, 12, 12, jnp.float32) == "streamed"
+    assert fused_mode(200, 12, 12, 12, jnp.float32) == "streamed"
+    with pytest.raises(ValueError, match="envelope exceeded"):
+        # resident warm/work state itself outgrows VMEM here
+        fused_mode(1000, 12, 12, 12, jnp.float32)
+    with pytest.raises(ValueError, match="envelope exceeded"):
+        fused_mode(50, 64, 64, 64, jnp.float32)
+
+
+@pytest.mark.parametrize("with_rows", [False, True])
+def test_streamed_robot_scale_matches_xla(with_rows):
+    """Robot-scale dims (x=12, u=12, r=12 — the reference's quadruped
+    class) route to the STREAMED kernel and must reproduce the XLA
+    oracle update-for-update, cold and warm (VERDICT r3 #1)."""
+    from copra_tpu.ops.stagewise_kernel import build_fused_plan
+    key = jax.random.PRNGKey(51 if with_rows else 52)
+    sqp = _random_sqp(key, N=15, x=12, u=12, r=12, with_rows=with_rows)
+    sqp_b = _batch(sqp, 2, jax.random.PRNGKey(53))
+    opts = ct.SolverOptions(max_iter=12, early_exit=False)
+    plan = build_fused_plan(sqp_b, opts)
+    assert plan.plan_fwd is not None, "expected the streamed mode"
+
+    Xo, Uo, io, warm_o = jax.vmap(
+        lambda s: solve_stagewise(s, opts, return_warm=True))(sqp_b)
+    Xf, Uf, if_, warm_f = solve_stagewise_fused(
+        sqp_b, opts, interpret=True, return_warm=True, plan=plan)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Uo), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(if_.primal_residual),
+                               np.asarray(io.primal_residual), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(if_.dual_residual),
+                               np.asarray(io.dual_residual), atol=1e-9)
+    assert np.array_equal(np.asarray(if_.status), np.asarray(io.status))
+
+    # warm receding tick at a shifted state
+    x0n = sqp_b.x0 + 0.02
+    sqp_n = dataclasses.replace(sqp_b, x0=x0n)
+    Xo2, Uo2, _ = jax.vmap(
+        lambda s, w: solve_stagewise(s, opts, warm_start=w))(
+            sqp_n, warm_o)
+    Xf2, Uf2, _ = solve_stagewise_fused(
+        sqp_n, opts, warm_start=warm_f, interpret=True,
+        plan=dataclasses.replace(plan, sqp=sqp_n))
+    np.testing.assert_allclose(np.asarray(Xf2), np.asarray(Xo2),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Uf2), np.asarray(Uo2),
+                               atol=1e-9)
