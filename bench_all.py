@@ -11,6 +11,9 @@ its own — targets come from BASELINE.json):
    (the headline; run it separately).
 5. Bipedal CoM preview, N=300, ZMP polygon rows, real-time budget —
    fleet tick latency, median-of-K, single-robot and fleet points.
+6. Quadruped SRB MPC (x=12, u=12, r=12 friction rows, N=40, LTV gait) —
+   robot-scale per-stage dimensions through the STREAMED fused kernel,
+   gated against the exact f64 condensed native active-set solve.
 
 Configs 1 and 3 are box-only and run the f64-exact accurate serving path
 (same as the headline); configs 1-2 also emit a FUSED-stagewise-kernel
@@ -794,7 +797,290 @@ def config5():
                    np.asarray(statuses)[-1] == 0))})
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5}
+def _srb_quadruped(N=40, dt=0.025):
+    """Single-rigid-body quadruped MPC (the reference's actual domain —
+    ANYbotics quadrupeds; any (nrVar, nrConstr) through qpOASES,
+    ``/root/reference/src/solvers/qpOASESSolver.cpp:66-118``): x=12
+    (rpy, position, angular rate, velocity), u=12 (3-D ground-reaction
+    force per leg), r=12 friction-cone/normal-force rows per stage,
+    LTV over the gait (footholds move with phase).  Returns a
+    single-robot f32 StagewiseQP."""
+    import jax.numpy as jnp
+    from copra_tpu.qp.riccati import StagewiseQP
+
+    m, g, mu, h = 25.0, 9.81, 0.6, 0.3
+    Ibinv = np.linalg.inv(np.diag([0.35, 1.2, 1.3]))
+    Ac = np.zeros((12, 12))
+    Ac[0:3, 6:9] = np.eye(3)      # d rpy = omega
+    Ac[3:6, 9:12] = np.eye(3)     # d p = v
+    Ad = np.eye(12) + Ac * dt
+    feet0 = np.array([[0.22, 0.15, -h], [0.22, -0.15, -h],
+                      [-0.22, 0.15, -h], [-0.22, -0.15, -h]])
+    As, Bs = [], []
+    for k in range(N):
+        phase = 2 * np.pi * k / N
+        Bk = np.zeros((12, 12))
+        for leg in range(4):
+            r_i = feet0[leg] + np.array(
+                [0.04 * np.sin(phase + leg * np.pi / 2), 0.0, 0.0])
+            rx = np.array([[0, -r_i[2], r_i[1]],
+                           [r_i[2], 0, -r_i[0]],
+                           [-r_i[1], r_i[0], 0]])
+            Bk[6:9, 3 * leg:3 * leg + 3] = Ibinv @ rx * dt
+            Bk[9:12, 3 * leg:3 * leg + 3] = np.eye(3) / m * dt
+        As.append(Ad)
+        Bs.append(Bk)
+    dk = np.zeros(12)
+    dk[11] = -g * dt
+    ds = np.repeat(dk[None], N, 0)
+
+    x_ref = np.zeros(12)
+    x_ref[5] = h                  # stand height
+    x_ref[9] = 0.4                # forward velocity
+    w = np.array([50.0, 50, 10, 10, 10, 100, 1, 1, 1, 5, 5, 5])
+    Qx = np.repeat(np.diag(w)[None], N + 1, 0)
+    Qx[-1] *= 10.0                # terminal emphasis
+    qx = np.repeat((-w * x_ref)[None], N + 1, 0)
+    qx[-1] *= 10.0
+    Ru = np.repeat((1e-5 * np.eye(12))[None], N, 0)
+    ru = np.zeros((N, 12))
+
+    xlb = np.full((N + 1, 12), -np.inf)
+    xub = np.full((N + 1, 12), np.inf)
+    xlb[:, 0:3], xub[:, 0:3] = -0.4, 0.4          # attitude envelope
+    xlb[:, 5], xub[:, 5] = 0.2, 0.4               # height corridor
+    ulb = np.tile(np.array([-150.0, -150.0, 0.0]), (N, 4))
+    uub = np.tile(np.array([150.0, 150.0, 250.0]), (N, 4))
+
+    # per-leg rows: fx <= mu fz, -fx <= mu fz, fy <= mu fz  (r = 12)
+    Cu1 = np.zeros((12, 12))
+    for leg in range(4):
+        c0 = 3 * leg
+        Cu1[c0 + 0, c0 + 0], Cu1[c0 + 0, c0 + 2] = 1.0, -mu
+        Cu1[c0 + 1, c0 + 0], Cu1[c0 + 1, c0 + 2] = -1.0, -mu
+        Cu1[c0 + 2, c0 + 1], Cu1[c0 + 2, c0 + 2] = 1.0, -mu
+    Cu = np.repeat(Cu1[None], N, 0)
+    Cx = np.zeros((N, 12, 12))
+    clo = np.full((N, 12), -np.inf)
+    chi = np.zeros((N, 12))
+
+    f32 = jnp.float32
+    x0 = x_ref.copy()
+    x0[9] = 0.0                   # starts at rest
+    return StagewiseQP(
+        A=jnp.asarray(np.asarray(As), f32), B=jnp.asarray(np.asarray(Bs), f32),
+        d=jnp.asarray(ds, f32), Qx=jnp.asarray(Qx, f32),
+        qx=jnp.asarray(qx, f32), Ru=jnp.asarray(Ru, f32),
+        ru=jnp.asarray(ru, f32), x0=jnp.asarray(x0, f32),
+        xlb=jnp.asarray(xlb, f32), xub=jnp.asarray(xub, f32),
+        ulb=jnp.asarray(ulb, f32), uub=jnp.asarray(uub, f32),
+        Cx=jnp.asarray(Cx, f32), Cu=jnp.asarray(Cu, f32),
+        clo=jnp.asarray(clo, f32), chi=jnp.asarray(chi, f32))
+
+
+def _stagewise_exact_native(s):
+    """Exact f64 oracle for ONE StagewiseQP lane: condense to a dense QP
+    (Phi/Psi recursion in f64) and solve with the native active-set
+    solver — the independent-exactness gate for config 6 (validated to
+    1.4e-9 against the f64 high-budget stagewise ADMM)."""
+    import copra_tpu as ct
+    from copra_tpu.qp.native import solve_qp_native
+
+    A = np.asarray(s.A, np.float64)
+    B = np.asarray(s.B, np.float64)
+    d = np.asarray(s.d, np.float64)
+    Qx = np.asarray(s.Qx, np.float64)
+    qx = np.asarray(s.qx, np.float64)
+    Ru = np.asarray(s.Ru, np.float64)
+    ru = np.asarray(s.ru, np.float64)
+    x0 = np.asarray(s.x0, np.float64)
+    xlb = np.asarray(s.xlb, np.float64)
+    xub = np.asarray(s.xub, np.float64)
+    N, x, u = A.shape[0], A.shape[1], B.shape[2]
+    nU = N * u
+    Psi = np.zeros((N + 1, x, nU))
+    xi = np.zeros((N + 1, x))
+    PhiM = np.zeros((N + 1, x, x))
+    PhiM[0] = np.eye(x)
+    for k in range(N):
+        PhiM[k + 1] = A[k] @ PhiM[k]
+        Psi[k + 1] = A[k] @ Psi[k]
+        Psi[k + 1][:, k * u:(k + 1) * u] += B[k]
+        xi[k + 1] = A[k] @ xi[k] + d[k]
+    xoff = PhiM @ x0 + xi
+    Q = np.zeros((nU, nU))
+    c = np.zeros(nU)
+    for k in range(N + 1):
+        Q += Psi[k].T @ Qx[k] @ Psi[k]
+        c += Psi[k].T @ (Qx[k] @ xoff[k] + qx[k])
+    for k in range(N):
+        sl = slice(k * u, (k + 1) * u)
+        Q[sl, sl] += Ru[k]
+        c[sl] += ru[k]
+    rows, lo_, hi_ = [], [], []
+    for k in range(1, N + 1):
+        for i in range(x):
+            if np.isfinite(xub[k, i]) or np.isfinite(xlb[k, i]):
+                rows.append(Psi[k][i])
+                lo_.append(xlb[k, i] - xoff[k, i])
+                hi_.append(xub[k, i] - xoff[k, i])
+    if s.Cx is not None:
+        Cx = np.asarray(s.Cx, np.float64)
+        Cu = np.asarray(s.Cu, np.float64)
+        clo = np.asarray(s.clo, np.float64)
+        chi = np.asarray(s.chi, np.float64)
+        for k in range(N):
+            Crow = Cx[k] @ Psi[k]
+            Crow[:, k * u:(k + 1) * u] += Cu[k]
+            off = Cx[k] @ xoff[k]
+            for j in range(Cx.shape[1]):
+                rows.append(Crow[j])
+                lo_.append(clo[k, j] - off[j])
+                hi_.append(chi[k, j] - off[j])
+    Arows = np.asarray(rows) if rows else np.zeros((0, nU))
+    lo_, hi_ = np.asarray(lo_), np.asarray(hi_)
+    fin_lo, fin_hi = np.isfinite(lo_), np.isfinite(hi_)
+    qp = ct.DenseQP(Q=Q, c=c, Aeq=np.zeros((0, nU)), beq=np.zeros(0),
+                    Aineq=np.concatenate([Arows[fin_hi], -Arows[fin_lo]]),
+                    bineq=np.concatenate([hi_[fin_hi], -lo_[fin_lo]]),
+                    lb=np.asarray(s.ulb, np.float64).ravel(),
+                    ub=np.asarray(s.uub, np.float64).ravel())
+    sol = solve_qp_native(qp)
+    return np.asarray(sol.x).reshape(N, u)
+
+
+def config6():
+    """Quadruped-class stagewise fleet (VERDICT r3 #1): x=12, u=12, r=12
+    friction rows, N=40 — served by the STREAMED fused kernel (plan
+    DMA'd from HBM per Riccati step, sublane-tiled sweeps), gated per
+    tick against the exact f64 condensed native active-set solve."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import copra_tpu as ct
+    from copra_tpu.ops.stagewise_kernel import fused_mode
+    from copra_tpu.qp.riccati import (auto_iters_stagewise,
+                                      auto_rho_stagewise,
+                                      make_stagewise_step,
+                                      scale_stagewise, stagewise_scales)
+
+    N = int(os.environ.get("BENCH_QUAD_N", 40))
+    budget_ms = 25.0              # 40 Hz re-plan (Cheetah-class MPC rate)
+    ticks = int(os.environ.get("BENCH_STEPS", 5))
+    sq1 = _srb_quadruped(N=N)
+    assert fused_mode(N, 12, 12, 12, jnp.float32) == "streamed"
+    # curvature equilibration (stagewise_scales): forces O(100 N) vs
+    # states O(0.1) stall raw ADMM at 60k+ iterations; the scaled
+    # problem converges in ~100 (tests/test_stagewise_scaling.py)
+    scales = stagewise_scales(sq1)
+
+    def fleet(robots, rng):
+        sqp_b = jax.tree_util.tree_map(
+            lambda a: jnp.tile(a[None], (robots,) + (1,) * a.ndim), sq1)
+        scale = np.repeat([0.03, 0.01, 0.03, 0.05], 3)   # rpy p omega v
+        pert = rng.normal(scale=scale, size=(robots, 12))
+        x0s = np.asarray(sq1.x0, np.float64)[None] + pert
+        return dataclasses.replace(
+            sqp_b, x0=jnp.asarray(x0s.astype(np.float32)))
+
+    opts = ct.SolverOptions(max_iter=int(os.environ.get("BENCH_ITERS",
+                                                        300)),
+                            early_exit=False, polish=False)
+    # probes run on the SCALED problem — the space the serving facade
+    # iterates in (its measured rho/iters transfer 1:1) — with the
+    # PHYSICAL serving drift (0.002 per tick) mapped into scaled space
+    probe_fleet = scale_stagewise(fleet(4, np.random.default_rng(3)),
+                                  *scales)
+    probe_drift = 0.002 / np.asarray(scales[0], np.float64)
+    opts = opts.replace(rho=float(os.environ["BENCH_RHO"])
+                        if "BENCH_RHO" in os.environ
+                        else auto_rho_stagewise(
+                            probe_fleet,
+                            opts.replace(max_iter=30), cold_options=opts,
+                            drift_scale=probe_drift))
+    if "BENCH_WARM_ITERS" in os.environ:
+        witers = int(os.environ["BENCH_WARM_ITERS"])
+    else:
+        witers, iters_probe = auto_iters_stagewise(
+            probe_fleet, opts, cold_options=opts,
+            candidates=(10, 20, 30, 50, 80, 120),
+            target_applied_err=1e-5, drift_scale=probe_drift,
+            return_probe=True)
+        _emit({"config": 6,
+               "metric": "quadruped measured warm-iteration policy "
+                         "(auto_iters_stagewise, applied-control gate)",
+               "chosen_iters": witers, "target_applied_err": 1e-5,
+               "pareto": {str(k): {kk: float(f"{vv:.3g}")
+                                   for kk, vv in v.items()}
+                          for k, v in iters_probe.items()}})
+    wopts = opts.replace(max_iter=witers)
+
+    for backend in ("fused", "xla"):
+        for robots in ((1, int(os.environ.get("BENCH_ROBOTS", 128)))
+                       if backend == "fused" else
+                       (int(os.environ.get("BENCH_ROBOTS", 128)),)):
+            rng = np.random.default_rng(11)
+            sqp_b = fleet(robots, rng)
+            tick = make_stagewise_step(sqp_b, wopts, cold_options=opts,
+                                       backend=backend, scaling=scales)
+            wticks = ticks + 2
+            drift = np.cumsum(rng.normal(
+                scale=0.002, size=(wticks + 10, robots, 12)), axis=0)
+            x0_base = np.asarray(sqp_b.x0, np.float64)
+            x0_seq = [jnp.asarray((x0_base + drift[t]).astype(np.float32))
+                      for t in range(wticks + 10)]
+            X, U, info, warm = tick(x0_seq[0])
+            X, U, info, warm = tick(x0_seq[1], warm)
+            jax.block_until_ready(U)
+            times = []
+            for t in range(wticks - 1):
+                t0 = time.perf_counter()
+                X, U, info, warm = tick(x0_seq[2 + t], warm)
+                jax.block_until_ready(U)
+                times.append(time.perf_counter() - t0)
+            med = float(np.median(times))
+            K = 8
+            t0 = time.perf_counter()
+            for t in range(K):
+                X, U, info, warm = tick(x0_seq[wticks + 1 + t], warm)
+            jax.block_until_ready(U)
+            marg = (time.perf_counter() - t0) / K
+            # exact gate on sampled lanes at the final tick state
+            x0_last = np.asarray(x0_seq[wticks + K], np.float64)
+            u_err = u0_err = 0.0
+            for lane in {0, robots - 1}:
+                s_l = jax.tree_util.tree_map(lambda a: a[lane], sqp_b)
+                s_l = dataclasses.replace(
+                    s_l, x0=jnp.asarray(x0_last[lane], jnp.float64))
+                Ue = _stagewise_exact_native(s_l)
+                U_l = np.asarray(U[lane], np.float64)
+                u_err = max(u_err, np.abs(U_l - Ue).max())
+                u0_err = max(u0_err, np.abs(U_l[0] - Ue[0]).max())
+            _emit({"config": 6,
+                   "metric": f"quadruped SRB MPC N={N} receding tick, "
+                             f"x=12/u=12/r=12 "
+                             f"({'STREAMED fused kernel' if backend == 'fused' else 'XLA stagewise path'}, "
+                             f"{witers} iters/tick, robots={robots}, "
+                             f"median of {len(times)})",
+                   "value": round(med * 1e3, 2), "unit": "ms/tick",
+                   "per_robot_ms": round(med * 1e3 / robots, 4),
+                   "chained_marginal_ms_per_tick": round(marg * 1e3, 2),
+                   "chained_marginal_ms_per_robot": round(
+                       marg * 1e3 / robots, 4),
+                   "rho": float(f"{opts.rho:.4g}"),
+                   "budget_ms": budget_ms,
+                   "within_budget_per_robot": med * 1e3 / robots
+                   <= budget_ms,
+                   "within_budget_chained": marg * 1e3 / max(robots, 1)
+                   <= budget_ms,
+                   "tick_times_ms": [round(t * 1e3, 2) for t in times],
+                   "max_err_vs_exact": float(f"{u_err:.3g}"),
+                   "applied_control_err": float(f"{u0_err:.3g}"),
+                   "iterations": witers,
+                   "converged_frac": float(np.mean(
+                       np.asarray(info.status) == 0))})
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5, 6: config6}
 
 
 def main():

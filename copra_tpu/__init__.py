@@ -37,8 +37,9 @@ from .qp.admm import solve_qp, solve_qp_batched
 from .qp.riccati import (StagewiseQP, auto_iters_stagewise,
                          auto_rho_stagewise, lqr_solve, lqr_solve_assoc,
                          make_stagewise_multistep, make_stagewise_step,
-                         solve_mpc_stagewise, solve_stagewise,
-                         stack_stagewise)
+                         scale_stagewise, solve_mpc_stagewise,
+                         solve_stagewise, stack_stagewise,
+                         stagewise_scales)
 from .qp.registry import (available_solvers, get_solver, register_solver)
 from .qp.types import (DenseQP, QPSolution, SolverOptions, WarmStart,
                        STATUS_MAX_ITER, STATUS_PRIMAL_INFEASIBLE,
@@ -71,6 +72,7 @@ __all__ = [
     "solve_mpc_stagewise", "make_stagewise_step",
     "make_stagewise_multistep", "stack_stagewise",
     "auto_rho_stagewise", "auto_iters_stagewise",
+    "stagewise_scales", "scale_stagewise",
     "span_matrix", "span_vector",
     "CopraError", "DimensionError", "InitializationError", "SolverError",
     "InfeasibleProblemError",

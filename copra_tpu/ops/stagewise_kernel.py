@@ -619,12 +619,15 @@ def _streamed_tick_compute(n_iter: int, N: int, lo: _StreamLayout,
 
         def bwd(j, v):
             k = _nN - 1 - j
-            slot = (j + _i1) % 2
+            # slot parity via bitwise AND: a traced `% 2` under
+            # jax_enable_x64 promotes through an i64 convert whose Mosaic
+            # lowering self-recurses to a RecursionError (x64 kernel trap)
+            slot = (j + _i1) & _i1
             bdma(slot, k).wait()
 
             @pl.when(k >= 1)
             def _():
-                bdma(j % 2, k - 1).start()
+                bdma(j & _i1, k - 1).start()
 
             qs = (btile(slot, lo.bq, x)
                   - (btile(slot, lo.brx, x) * wtile(k, lo.zX, x)
@@ -665,9 +668,9 @@ def _streamed_tick_compute(n_iter: int, N: int, lo: _StreamLayout,
         fdma(_i0, jnp.int32(0)).start()
 
         def fwd(k, xs):
-            slot = k % 2
+            slot = k & _i1
             fdma(slot, k).wait()
-            fdma((k + _i1) % 2, k + 1).start()    # k+1 <= N always
+            fdma((k + _i1) & _i1, k + 1).start()  # k+1 <= N always
 
             uk = ktile(k, lo.h, u)
             for i in range(x):
@@ -1121,11 +1124,13 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     # tracing the kernel nested under jit(facade)->vmap adds several
-    # hundred Python frames; the default 1000-frame recursion limit
-    # trips mid-trace (observed in bench_all config 5)
+    # hundred Python frames — more at robot-scale dims, whose streamed
+    # sweeps unroll O(x+u+r) tile expressions per stage (config-6 trace
+    # overflowed the 3000 limit); the default 1000-frame limit trips
+    # mid-trace (observed in bench_all configs 5 and 6)
     import sys
-    if sys.getrecursionlimit() < 3000:
-        sys.setrecursionlimit(3000)
+    if sys.getrecursionlimit() < 10_000:
+        sys.setrecursionlimit(10_000)
     single = sqp.A.ndim == 3
     if single:
         sqp = jax.tree_util.tree_map(lambda a: a[None], sqp)

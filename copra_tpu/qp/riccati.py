@@ -1051,6 +1051,92 @@ def stack_stagewise(sqps: Sequence[StagewiseQP],
         *sqps)
 
 
+def stagewise_scales(sqp: StagewiseQP,
+                     sample_lanes: int = 4) -> Tuple[Array, Array]:
+    """Curvature-based diagonal equilibration scales ``(Dx, Du)``.
+
+    First-order (ADMM) solvers stall on badly-scaled MPC problems — the
+    robot-dynamics classic is forces O(100 N) against states O(0.1)
+    (measured on the config-6 quadruped: 60k f64 iterations to 1.5e-3
+    unscaled vs 100 iterations to 7e-9 scaled).  The reference's
+    active-set backends are scale-invariant; the first-order analog is
+    Ruiz equilibration, which the condensed engine already has
+    (``qp/admm.py``) — this is the STAGEWISE counterpart
+    (SURVEY.md §7.3 hard-part 1).
+
+    Scales come from the unconstrained Riccati curvature: ``Du =
+    diag(F_k)^(-1/2)`` (inner control Hessians) and ``Dx =
+    diag(V_k)^(-1/2)`` (value Hessians), geometric-averaged over stages
+    (and over ``sample_lanes`` for a batched fleet).  In the
+    reparametrized problem the per-stage Hessians are ~unit diagonal —
+    the regime ADMM's single rho serves well.  Computed ON HOST in f64
+    (the raw problem's V can be ~1e8-conditioned; f32 recursion is the
+    repo-wide trap).  Pair with :func:`scale_stagewise`.
+    """
+    batched = sqp.A.ndim == 4
+    sqp_b = (sqp if batched
+             else jax.tree_util.tree_map(lambda a: a[None], sqp))
+    B = np.asarray(sqp_b.A.shape[0])
+    idx = np.unique(np.linspace(0, int(B) - 1,
+                                min(sample_lanes, int(B))).astype(int))
+    A = np.asarray(sqp_b.A, np.float64)[idx]
+    Bm = np.asarray(sqp_b.B, np.float64)[idx]
+    Qx = np.asarray(sqp_b.Qx, np.float64)[idx]
+    Ru = np.asarray(sqp_b.Ru, np.float64)[idx]
+    nl, N, x = A.shape[0], A.shape[1], A.shape[2]
+    u = Bm.shape[3]
+    logF = np.zeros(u)
+    logV = np.zeros(x)
+    for li in range(nl):
+        V = Qx[li, -1].copy()
+        dF = np.zeros((N, u))
+        dV = np.zeros((N + 1, x))
+        dV[N] = np.diag(V)
+        for k in range(N - 1, -1, -1):
+            BtV = Bm[li, k].T @ V
+            F = Ru[li, k] + BtV @ Bm[li, k]
+            G = BtV @ A[li, k]
+            K = -np.linalg.solve(F, G)
+            V = Qx[li, k] + A[li, k].T @ V @ A[li, k] + G.T @ K
+            V = 0.5 * (V + V.T)
+            dF[k] = np.diag(F)
+            dV[k] = np.diag(V)
+        logF += np.mean(np.log(np.maximum(dF, 1e-30)), axis=0) / nl
+        logV += np.mean(np.log(np.maximum(dV, 1e-30)), axis=0) / nl
+    dt = sqp.A.dtype
+    Dx = jnp.asarray(np.exp(-0.5 * logV), dt)
+    Du = jnp.asarray(np.exp(-0.5 * logF), dt)
+    return Dx, Du
+
+
+def scale_stagewise(sqp: StagewiseQP, Dx: Array, Du: Array
+                    ) -> StagewiseQP:
+    """Exact diagonal reparametrization ``x' = x / Dx``, ``u' = u / Du``.
+
+    The scaled problem's solution maps back as ``X = X' * Dx``,
+    ``U = U' * Du``; general-row values ``Cx x + Cu u`` are invariant
+    (coefficients absorb the scales), so ``clo``/``chi`` are unchanged.
+    Works on single or batched (leading-lane-axis) problems.
+    """
+    Dxi = 1.0 / Dx
+    Dui = 1.0 / Du
+    r = sqp.nr_rows
+    return dataclasses.replace(
+        sqp,
+        A=Dxi[:, None] * sqp.A * Dx[None, :],
+        B=Dxi[:, None] * sqp.B * Du[None, :],
+        d=sqp.d * Dxi,
+        x0=sqp.x0 * Dxi,
+        Qx=Dx[:, None] * sqp.Qx * Dx[None, :],
+        qx=sqp.qx * Dx,
+        Ru=Du[:, None] * sqp.Ru * Du[None, :],
+        ru=sqp.ru * Du,
+        xlb=sqp.xlb * Dxi, xub=sqp.xub * Dxi,
+        ulb=sqp.ulb * Dui, uub=sqp.uub * Dui,
+        Cx=(sqp.Cx * Dx[None, :]) if r else sqp.Cx,
+        Cu=(sqp.Cu * Du[None, :]) if r else sqp.Cu)
+
+
 def _resolve_auto_backend(sqp: StagewiseQP, parallel_scan: bool) -> str:
     """Resolve ``backend='auto'`` for the stagewise serving facades.
 
@@ -1080,7 +1166,8 @@ def make_stagewise_step(sqp: StagewiseQP,
                         options: SolverOptions = SolverOptions(),
                         cold_options: Optional[SolverOptions] = None,
                         parallel_scan: bool = False,
-                        backend: str = "auto"):
+                        backend: str = "auto",
+                        scaling="none"):
     """Serving facade for the stagewise engine (the config-5 pattern).
 
     Returns ``tick(x0, warm) -> (X, U, info, warm)`` over a batched
@@ -1116,6 +1203,37 @@ def make_stagewise_step(sqp: StagewiseQP,
     if cold_options is None:
         cold_options = options.replace(max_iter=10 * options.max_iter)
     batched = sqp.A.ndim == 4
+
+    # ``scaling``: "none" | "auto" | an explicit (Dx, Du) pair.  "auto"
+    # equilibrates the problem by its Riccati curvature ONCE at build
+    # (:func:`stagewise_scales`); ticks take/return ORIGINAL units (x0
+    # scaled in, X/U scaled out inside the jitted runner) and the warm
+    # tuple stays in scaled space (opaque — only valid with ticks from
+    # the same facade).  Residuals/statuses are reported in scaled space
+    # (the equilibrated norm the tolerances are meant for).
+    scale = None
+    if scaling == "auto":
+        scale = stagewise_scales(sqp)
+    elif isinstance(scaling, tuple):
+        scale = scaling
+    if scale is not None:
+        Dx_s, Du_s = scale
+        Dxi_s = 1.0 / Dx_s
+        sqp = scale_stagewise(sqp, Dx_s, Du_s)
+
+        def _in_x0(x0):
+            return x0 * Dxi_s
+
+        def _out(out):
+            X, U, info, warm = out
+            X = X * Dx_s
+            U = U * Du_s
+            info = dataclasses.replace(
+                info, x=U.reshape(U.shape[:-2] + (-1,)))
+            return X, U, info, warm
+    else:
+        _in_x0 = lambda x0: x0
+        _out = lambda out: out
     if backend == "auto":
         backend = _resolve_auto_backend(sqp, parallel_scan)
 
@@ -1143,10 +1261,10 @@ def make_stagewise_step(sqp: StagewiseQP,
         # N=300 fleet's packed plan is ~276 MB and a baked-in constant
         # would exceed the remote-compile transport's program size limit
         # (CLAUDE.md invariant)
-        run_cold = jax.jit(lambda p, s, x0: run_fused(cold_options)(
-            p, s, x0, None))
-        run_warm = jax.jit(lambda p, s, x0, w: run_fused(options)(
-            p, s, x0, w))
+        run_cold = jax.jit(lambda p, s, x0: _out(run_fused(cold_options)(
+            p, s, _in_x0(x0), None)))
+        run_warm = jax.jit(lambda p, s, x0, w: _out(run_fused(options)(
+            p, s, _in_x0(x0), w)))
 
         def tick(x0, warm=None):
             if not batched:
@@ -1175,10 +1293,10 @@ def make_stagewise_step(sqp: StagewiseQP,
         return lambda s, w=None: (jax.vmap(one)(s) if w is None
                                   else jax.vmap(one)(s, w))
 
-    run_cold = jax.jit(lambda s, x0: _run(cold_options)(
-        dataclasses.replace(s, x0=x0)))
-    run_warm = jax.jit(lambda s, x0, w: _run(options)(
-        dataclasses.replace(s, x0=x0), w))
+    run_cold = jax.jit(lambda s, x0: _out(_run(cold_options)(
+        dataclasses.replace(s, x0=_in_x0(x0)))))
+    run_warm = jax.jit(lambda s, x0, w: _out(_run(options)(
+        dataclasses.replace(s, x0=_in_x0(x0)), w)))
 
     def tick(x0, warm=None):
         if warm is None:
@@ -1244,8 +1362,13 @@ def _probe_setup(sqp, probe_lanes, probe_steps, drift_scale):
     x = sqp_p.xdim
 
     rng = np.random.default_rng(0)
-    drift = rng.normal(scale=drift_scale,
-                       size=(probe_steps + 1, nl, x)).cumsum(0)
+    # drift_scale: scalar or per-coordinate [x] vector (callers probing
+    # an equilibrated problem pass the PHYSICAL drift mapped into scaled
+    # space, drift/Dx — a scalar probe drift under-drives coordinates
+    # whose scale shrank and overstates warm-start quality)
+    drift = rng.normal(scale=np.broadcast_to(
+        np.asarray(drift_scale, np.float64), (x,)),
+        size=(probe_steps + 1, nl, x)).cumsum(0)
     x0_p = np.asarray(sqp_p.x0, np.float64)
     x0_seq = [jnp.asarray((x0_p + drift[t]).astype(
         np.asarray(sqp_p.x0).dtype)) for t in range(probe_steps + 1)]
@@ -1381,7 +1504,8 @@ def make_stagewise_multistep(sqp: StagewiseQP,
                              cold_options: Optional[SolverOptions] = None,
                              parallel_scan: bool = False,
                              backend: str = "auto",
-                             plant=None):
+                             plant=None,
+                             scaling="none"):
     """Dispatch-free multi-tick serving (VERDICT r2 #5).
 
     Per-tick Python dispatch dominates single-robot fused-tick latency
@@ -1431,13 +1555,26 @@ def make_stagewise_multistep(sqp: StagewiseQP,
     batched = sqp.A.ndim == 4
     sqp_b = (sqp if batched
              else jax.tree_util.tree_map(lambda a: a[None], sqp))
+
+    # equilibration (see make_stagewise_step): the CHAIN runs in original
+    # units — only the inner solve sees the scaled problem, so the plant
+    # rollout / exogenous stream / returned controls are unchanged
+    scale = None
+    if scaling == "auto":
+        scale = stagewise_scales(sqp_b)
+    elif isinstance(scaling, tuple):
+        scale = scaling
+    sqp_s = sqp_b if scale is None else scale_stagewise(sqp_b, *scale)
     if backend == "auto":
-        backend = _resolve_auto_backend(sqp, parallel_scan)
-    # leading cold tick reuses the single-tick facade (same budgets)
+        backend = _resolve_auto_backend(sqp_s, parallel_scan)
+    # leading cold tick reuses the single-tick facade (same budgets,
+    # same scale — its warm tuple must match the chain's scaled space)
     cold_tick = make_stagewise_step(sqp_b, options,
                                     cold_options=cold_options,
                                     parallel_scan=parallel_scan,
-                                    backend=backend)
+                                    backend=backend,
+                                    scaling="none" if scale is None
+                                    else scale)
 
     if plant is None:
         A0, B0, d0 = sqp_b.A[:, 0], sqp_b.B[:, 0], sqp_b.d[:, 0]
@@ -1449,7 +1586,7 @@ def make_stagewise_multistep(sqp: StagewiseQP,
     if backend == "fused":
         from ..ops.stagewise_kernel import (build_fused_plan,
                                             solve_stagewise_fused)
-        plan_w = build_fused_plan(sqp_b, options)
+        plan_w = build_fused_plan(sqp_s, options)
 
         def solve1(s, w):
             return solve_stagewise_fused(
@@ -1464,17 +1601,29 @@ def make_stagewise_multistep(sqp: StagewiseQP,
                 sk, wopts, warm_start=wk, parallel_scan=parallel_scan,
                 return_warm=True))(s, w)
 
+    def solve1_units(xk, w):
+        """Solve at the ORIGINAL-units state xk, return original-units
+        (X, U, info, warm) — warm stays in the solver's (scaled) space."""
+        if scale is None:
+            return solve1(dataclasses.replace(sqp_s, x0=xk), w)
+        Dx_s, Du_s = scale
+        s = dataclasses.replace(sqp_s, x0=xk / Dx_s)
+        X, U, info, w2 = solve1(s, w)
+        X = X * Dx_s
+        U = U * Du_s
+        info = dataclasses.replace(info, x=U.reshape(U.shape[0], -1))
+        return X, U, info, w2
+
     @functools.partial(jax.jit, static_argnames=("n_ticks", "exogenous"))
     def run_chain(plan, s_b, x0, warm, xs, n_ticks, exogenous):
-        del plan  # flows as a jit ARGUMENT only to keep it out of the
-        # program constants (remote-compile transport size limit); solve1
-        # closes over plan_w but replaces its sqp per tick
+        del plan, s_b  # flow as jit ARGUMENTS only to keep them out of
+        # the program constants (remote-compile transport size limit);
+        # solve1 closes over plan_w but replaces its sqp per tick
 
         def body(carry, xk_in):
             x_prev, w, _ = carry
             xk = xk_in if exogenous else x_prev
-            s = dataclasses.replace(s_b, x0=xk)
-            X, U, info, w2 = solve1(s, w)
+            X, U, info, w2 = solve1_units(xk, w)
             xn = plant(xk, U)
             # last tick's full solution rides the CARRY (stacking the
             # [B, N, ...] trees over n_ticks would multiply the tick
@@ -1483,8 +1632,8 @@ def make_stagewise_multistep(sqp: StagewiseQP,
 
         last0 = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype),
-            jax.eval_shape(lambda s, w: solve1(s, w)[:3],
-                           dataclasses.replace(s_b, x0=x0), warm))
+            jax.eval_shape(lambda xk, w: solve1_units(xk, w)[:3],
+                           x0, warm))
         (xT, wT, last), (xs_out, u0s, statuses) = lax.scan(
             body, (x0, warm, last0), xs,
             length=None if exogenous else n_ticks)

@@ -255,8 +255,12 @@ def test_early_exit_budget_exhaustion_is_honest():
 # ---------------------------------------------------------------------------
 
 
-def test_fused_envelope_large_state_raises():
-    from copra_tpu.ops.stagewise_kernel import build_fused_plan
+def test_fused_envelope_large_state_now_streams():
+    """x=16 once exceeded the fused envelope; the streamed mode (VERDICT
+    r3 #1) now serves it — build_fused_plan must pick it, and only a
+    genuinely over-budget size raises."""
+    from copra_tpu.ops.stagewise_kernel import (build_fused_plan,
+                                                check_fused_envelope)
 
     N, x, u = 20, 16, 2
     rng = np.random.default_rng(0)
@@ -274,8 +278,10 @@ def test_fused_envelope_large_state_raises():
         xub=jnp.full((N + 1, x), 1.0, jnp.float32),
         ulb=jnp.full((N, u), -1.0, jnp.float32),
         uub=jnp.full((N, u), 1.0, jnp.float32))
+    plan = build_fused_plan(sqp, ct.SolverOptions(max_iter=10))
+    assert plan.plan_fwd is not None       # streamed mode serves it
     with pytest.raises(ValueError, match="envelope"):
-        build_fused_plan(sqp, ct.SolverOptions(max_iter=10))
+        check_fused_envelope(50, 64, 64, 64, jnp.float32)
 
 
 def test_fused_envelope_vmem_budget_raises():
