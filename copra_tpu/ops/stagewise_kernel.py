@@ -862,6 +862,8 @@ class FusedStagewisePlan:
     rho_u: Array             # [B, N, u]
     plan_fwd: Optional[Array] = None   # streamed mode only: the FORWARD
     #                          stage group [N+1, Cf, Bp] (None = resident)
+    df32: Optional[object] = None      # Df32PolishPlan when the options
+    #                          request polish_iters > 0 (ops/df32_polish)
 
 
 def fused_mode(N: int, x: int, u: int, r: int, dtype) -> str:
@@ -1049,7 +1051,9 @@ def build_fused_plan(sqp, options) -> FusedStagewisePlan:
         return FusedStagewisePlan(plan=pack(bcols), sqp=sqp,
                                   gains_raw=gains_raw, Es=Es, slo=slo,
                                   shi=shi, rho_s=rho_s, rho_x=rho_x,
-                                  rho_u=rho_u, plan_fwd=pack(fcols))
+                                  rho_u=rho_u, plan_fwd=pack(fcols),
+                                  df32=_maybe_df32_plan(sqp, options,
+                                                        Es, rho_s))
 
     cols = jnp.zeros((B0, N + 1, lo.C), dt)
 
@@ -1080,7 +1084,33 @@ def build_fused_plan(sqp, options) -> FusedStagewisePlan:
     return FusedStagewisePlan(plan=pack(cols), sqp=sqp,
                               gains_raw=gains_raw, Es=Es, slo=slo,
                               shi=shi, rho_s=rho_s, rho_x=rho_x,
-                              rho_u=rho_u)
+                              rho_u=rho_u,
+                              df32=_maybe_df32_plan(sqp, options,
+                                                    Es, rho_s))
+
+
+def _maybe_df32_plan(sqp, options, Es, rho_s):
+    """Build the df32 polish constants when the options ask for them.
+
+    Host-side numpy build (f64 Riccati) — impossible under a tracer, so
+    plans must be built EAGERLY when ``polish_iters > 0`` (the serving
+    facades already do; ``solve_stagewise_fused`` raises with guidance
+    otherwise)."""
+    if getattr(options, "polish_iters", 0) <= 0:
+        return None
+    if sqp.A.dtype != jnp.float32:
+        raise ValueError(
+            "options.polish_iters is the COMPENSATED-F32 polish for f32 "
+            f"problems; this problem is {sqp.A.dtype} (f64 data already "
+            "converges to machine precision without it).")
+    if isinstance(sqp.A, jax.core.Tracer):
+        raise ValueError(
+            "options.polish_iters > 0 requires an eagerly-built plan: "
+            "call build_fused_plan(sqp, options) outside jit and pass "
+            "it via solve_stagewise_fused(plan=...) (the df32 polish "
+            "constants come from a host-side f64 Riccati recursion).")
+    from .df32_polish import build_df32_polish_plan
+    return build_df32_polish_plan(sqp, options, Es=Es, rho_s=rho_s)
 
 
 def _pack_warm(fp: FusedStagewisePlan, zX, zU, yX, yU, zS, yS) -> Array:
@@ -1206,6 +1236,19 @@ def solve_stagewise_fused(sqp, options, warm_start=None,
     yU = take(warm1, lo.yU, u)[:, :N]
     zS = take(warm1, lo.zS, r)[:, :N] if has_rows else zS0
     yS = take(warm1, lo.yS, r)[:, :N] if has_rows else yS0
+
+    if getattr(options, "polish_iters", 0) > 0:
+        # df32 fixed-point polish: same ADMM update in compensated-f32
+        # arithmetic retires the f32 kernel's ~2e-5 accuracy floor (see
+        # ops/df32_polish.py); residuals/statuses below are then honest
+        # for the DELIVERED (polished) solution.
+        from .df32_polish import df32_polish
+        ppol = fp.df32
+        if ppol is None:
+            ppol = _maybe_df32_plan(sqp, options, fp.Es, fp.rho_s)
+        X, U, (zX, zU, yX, yU, zS, yS) = df32_polish(
+            ppol, sqp.x0, X, U, (zX, zU, yX, yU, zS, yS),
+            int(options.polish_iters), options)
 
     r_prim = jnp.maximum(
         jnp.max(jnp.where(box_x, jnp.abs(X - zX), 0.0), axis=(1, 2)),

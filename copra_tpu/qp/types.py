@@ -237,6 +237,15 @@ class SolverOptions:
     polish: bool = True           # active-set KKT polish after ADMM
     polish_delta: float = 1e-10   # floored at 100*machine_eps per dtype
     polish_refine_steps: int = 3
+    polish_iters: int = 0
+    # STAGEWISE fused engine: compensated-f32 (df32) polish iterations
+    # appended after the fixed-count f32 phase.  The f32 kernel's
+    # accuracy floor is ~2e-5 on 1e4-curvature problems (measured:
+    # gain quantization, product rounding and carry rounding each
+    # independently above 1e-5); ~25-50 df32 iterations of the same
+    # update retire it below the 1e-5 contract using pure f32 VPU ops
+    # (ops/df32_polish.py).  0 = off.  The condensed engine's polish
+    # is the `polish` flag above (active-set KKT refinement).
     # active-set refinement rounds inside the polish (drop wrong-sign
     # rows / add violated rows and re-solve): 1 = the classic one-shot
     # OSQP polish; 2 (default) recovers from a spuriously-active row in
