@@ -181,7 +181,12 @@ def _stagewise_line(config, metric_prefix, system, costs, constraints,
                    sqp_b, ct.SolverOptions(max_iter=switers,
                                            early_exit=False),
                    probe_lanes=8, drift_scale=0.02))
-    sopts = ct.SolverOptions(max_iter=switers, early_exit=False, rho=rho)
+    # df32 polish: ~60 compensated-f32 iterations after the f32 phase
+    # retire the kernel's ~2e-5 accuracy floor (ops/df32_polish.py) —
+    # the fused throughput lines must sit inside the 1e-5 contract
+    polish = int(os.environ.get("BENCH_SW_POLISH", 60))
+    sopts = ct.SolverOptions(max_iter=switers, early_exit=False, rho=rho,
+                             polish_iters=polish)
     tick = make_stagewise_step(sqp_b, sopts,
                                cold_options=sopts.replace(max_iter=2000),
                                backend="fused")
@@ -208,13 +213,14 @@ def _stagewise_line(config, metric_prefix, system, costs, constraints,
                 U.reshape(batch, -1), tuple({0, 1, 17, batch - 1, *worst}))
     _emit({"config": config,
            "metric": f"{metric_prefix} (B={batch}, FUSED stagewise "
-                     f"kernel, {switers} iters)",
+                     f"kernel, {switers} iters + {polish} df32 polish)",
            "value": round(batch * steps / sum(times), 1),
            "unit": "solves/s",
            "rho": float(f"{rho:.4g}"),
            "chained_solves_per_s": round(batch / marg, 1),
            "max_err_vs_exact": float(f"{err:.3g}"),
            "iterations": switers,
+           "polish_iters": polish,
            "converged_frac": float(np.mean(np.asarray(info.status)
                                            == 0))})
 
@@ -521,7 +527,13 @@ def config5():
         return from_mpc(system, costs, constraints)
 
     sq = [axis_sqp(0), axis_sqp(1)]
-    opts = ct.SolverOptions(max_iter=iters, early_exit=False, polish=False)
+    # eps_abs: statuses gate at 1e-5 (10x eps_abs) — the measured
+    # residual class of the 20-iter warm serving budget in the
+    # normalized-row metric (config-6 convention: "converged" means "at
+    # the serving budget's measured floor"); the real honesty bar stays
+    # the exact-oracle gate + rel fields on every line
+    opts = ct.SolverOptions(max_iter=iters, early_exit=False,
+                            polish=False, eps_abs=1e-6)
     # measured rho policy over the two per-axis lanes (picks 1.0 on this
     # workload — the old hand constant, now derived instead of asserted)
     sq_stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *sq)
@@ -582,12 +594,14 @@ def config5():
         # honesty gates (lane 0 = x axis, lane 1 = y axis of robot 0)
         x0_last = np.asarray(x0_seq[ticks], np.float64)
         u_err = u0_err = zmp_err = viol = 0.0
+        u_sc = 1e-30
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = np.asarray(U[lane], np.float64).ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u_sc = max(u_sc, np.abs(Ue).max())
             u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
@@ -606,7 +620,10 @@ def config5():
                <= BUDGET_MS_CONFIG5,
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "max_err_rel": float(f"{u_err / u_sc:.3g}"),
                "applied_control_err": float(f"{u0_err:.3g}"),
+               "applied_control_err_rel": float(f"{u0_err / u_sc:.3g}"),
+               "control_scale": round(float(u_sc), 2),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": iters,
@@ -654,12 +671,14 @@ def config5():
         med = float(np.median(times))
         x0_last = np.asarray(x0_seq[wticks], np.float64)
         u_err = u0_err = zmp_err = viol = 0.0
+        u_sc = 1e-30
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = np.asarray(U[lane], np.float64).ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u_sc = max(u_sc, np.abs(Ue).max())
             u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
@@ -678,7 +697,10 @@ def config5():
                <= BUDGET_MS_CONFIG5,
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "max_err_rel": float(f"{u_err / u_sc:.3g}"),
                "applied_control_err": float(f"{u0_err:.3g}"),
+               "applied_control_err_rel": float(f"{u0_err / u_sc:.3g}"),
+               "control_scale": round(float(u_sc), 2),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
@@ -722,20 +744,24 @@ def config5():
             X, U, info, warm = tick(x0_seq[wticks + 1 + t], warm)
         jax.block_until_ready(U)
         marg = (time.perf_counter() - t0) / K
-        prof = None
-        if robots == 1:
-            # measured device/dispatch split of the single-robot tick
-            w_fix, x_fix = warm, x0_seq[wticks + K]
-            prof = _profile_device_per_tick(
-                jax, lambda: tick(x_fix, w_fix)[1])
+        # measured device/dispatch split — the trustworthy per-tick
+        # number: tunnel wall medians of repeated near-identical calls
+        # report fantasy rates (CLAUDE.md; observed 0.18 ms "walls" for
+        # a 4 ms-device 512-lane tick), so budget gates below use the
+        # profiler's device-busy time
+        w_fix, x_fix = warm, x0_seq[wticks + K]
+        prof = _profile_device_per_tick(
+            jax, lambda: tick(x_fix, w_fix)[1])
         x0_last = np.asarray(x0_seq[wticks + K], np.float64)
         u_err = u0_err = zmp_err = viol = 0.0
+        u_sc = 1e-30
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = np.asarray(U[lane], np.float64).ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u_sc = max(u_sc, np.abs(Ue).max())
             u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
@@ -762,12 +788,17 @@ def config5():
                    "measured_dispatch_ms_per_tick": round(
                        med * 1e3 - prof["measured_device_ms_per_tick"],
                        2),
+                   "measured_device_ms_per_robot": round(
+                       prof["measured_device_ms_per_tick"] / robots, 4),
                    "within_budget_device":
                        prof["measured_device_ms_per_tick"]
                        <= BUDGET_MS_CONFIG5}),
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "max_err_rel": float(f"{u_err / u_sc:.3g}"),
                "applied_control_err": float(f"{u0_err:.3g}"),
+               "applied_control_err_rel": float(f"{u0_err / u_sc:.3g}"),
+               "control_scale": round(float(u_sc), 2),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
@@ -799,16 +830,29 @@ def config5():
             x0_seq[0], K, warm=warm, x0_seq=x0_seq[K:2 * K])
         jax.block_until_ready(u0s)
         per_tick = (time.perf_counter() - t0) / K
+        # device-busy per tick from a profiled chain call (walls
+        # through the tunnel can be fantasy — CLAUDE.md)
+        w_fix = warm
+        prof = _profile_device_per_tick(
+            jax, lambda: step_many(x0_seq[0], K, warm=w_fix,
+                                   x0_seq=x0_seq[K:2 * K])[1], n=2)
+        if prof is not None:
+            prof = {"measured_device_ms_per_tick": round(
+                prof["measured_device_ms_per_tick"] / K, 4),
+                "measured_device_ms_per_robot": round(
+                prof["measured_device_ms_per_tick"] / K / robots, 5)}
         # gate the FINAL tick's full solution (solved at x0_seq[2K-1])
         x0_last = np.asarray(x0_seq[2 * K - 1], np.float64)
         U = np.asarray(info.x, np.float64).reshape(lanes, horizon, 1)
         u_err = u0_err = zmp_err = viol = 0.0
+        u_sc = 1e-30
         for lane, ax in ((0, 0), (1, 1)):
             Ue, Xe, (Zphi, Zpsi, Zxi) = _zmp_exact(
                 system.A, system.B, system.d, zmp_row, ref[ax], lo[ax],
                 hi[ax], x0_last[lane])
             U_l = U[lane].ravel()
             u_err = max(u_err, np.abs(U_l - Ue).max())
+            u_sc = max(u_sc, np.abs(Ue).max())
             u0_err = max(u0_err, abs(float(U_l[0]) - float(Ue[0])))
             zl = Zphi @ x0_last[lane] + Zpsi @ U_l + Zxi
             ze = Zphi @ x0_last[lane] + Zpsi @ Ue + Zxi
@@ -826,8 +870,16 @@ def config5():
                "budget_ms": BUDGET_MS_CONFIG5,
                "within_budget_per_robot": per_tick * 1e3 / robots
                <= BUDGET_MS_CONFIG5,
+               **({} if prof is None else {
+                   **prof,
+                   "within_budget_device":
+                       prof["measured_device_ms_per_tick"] / max(robots, 1)
+                       <= BUDGET_MS_CONFIG5}),
                "max_err_vs_exact": float(f"{u_err:.3g}"),
+               "max_err_rel": float(f"{u_err / u_sc:.3g}"),
                "applied_control_err": float(f"{u0_err:.3g}"),
+               "applied_control_err_rel": float(f"{u0_err / u_sc:.3g}"),
+               "control_scale": round(float(u_sc), 2),
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
@@ -1089,7 +1141,10 @@ def config6():
             jax.block_until_ready(U)
             marg = (time.perf_counter() - t0) / K
             prof = None
-            if robots == 1 and backend == "fused":
+            if backend == "fused":
+                # measured device/dispatch split for EVERY fused line
+                # (tunnel walls of repeated calls can report fantasy
+                # rates — CLAUDE.md; budget gates use device time)
                 w_fix, x_fix = warm, x0_seq[wticks + K]
                 prof = _profile_device_per_tick(
                     jax, lambda: tick(x_fix, w_fix)[1])
@@ -1127,6 +1182,9 @@ def config6():
                        "measured_dispatch_ms_per_tick": round(
                            med * 1e3
                            - prof["measured_device_ms_per_tick"], 2),
+                       "measured_device_ms_per_robot": round(
+                           prof["measured_device_ms_per_tick"]
+                           / robots, 4),
                        "within_budget_device":
                            prof["measured_device_ms_per_tick"]
                            <= budget_ms}),
