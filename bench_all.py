@@ -208,16 +208,26 @@ def _stagewise_line(config, metric_prefix, system, costs, constraints,
         X, U, info, warm = tick(x0_seq[2 + steps + t - 1], warm)
     jax.block_until_ready(U)
     marg = (time.perf_counter() - t0) / K
+    # device-derived rate: tunnel walls of repeated near-identical calls
+    # report fantasy rates (observed 19M "solves/s" on config 2 —
+    # CLAUDE.md); the profiler device-busy time is the honest number
+    w_fix, x_fix = warm, x0_seq[steps + K]
+    prof = _profile_device_per_tick(jax, lambda: tick(x_fix, w_fix)[1])
     worst = info.failed_lanes(3)
     err = _gate(plan, np.asarray(x0_seq[steps + K]),
                 U.reshape(batch, -1), tuple({0, 1, 17, batch - 1, *worst}))
     _emit({"config": config,
            "metric": f"{metric_prefix} (B={batch}, FUSED stagewise "
                      f"kernel, {switers} iters + {polish} df32 polish)",
-           "value": round(batch * steps / sum(times), 1),
+           "value": (round(batch / (prof["measured_device_ms_per_tick"]
+                                    * 1e-3), 1)
+                     if prof else round(batch * steps / sum(times), 1)),
            "unit": "solves/s",
+           "rate_basis": ("device-time" if prof else "wall"),
            "rho": float(f"{rho:.4g}"),
+           "wall_solves_per_s": round(batch * steps / sum(times), 1),
            "chained_solves_per_s": round(batch / marg, 1),
+           **({} if prof is None else prof),
            "max_err_vs_exact": float(f"{err:.3g}"),
            "iterations": switers,
            "polish_iters": polish,
