@@ -202,6 +202,18 @@ def _mul_c(c, idx, xh, xl):
     return df_mul_presplit(c[0][idx], c[1][idx], c[2][idx], xh, xl)
 
 
+def _unroll(N: int) -> int:
+    """Stage-scan unroll factor: the per-stage bodies are dozens of
+    tiny elementwise ops, so short horizons are scan-overhead-bound on
+    TPU — unrolling them lets XLA fuse across stages (measured: 60
+    polish iters 23 -> 9.3 ms device on the config-1 shape).  CPU keeps
+    rolled scans: the same unroll inflates CPU x64 compile >10x for no
+    runtime need."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return 1
+    return N if N <= 16 else 4
+
+
 def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
                  alpha: float, sigma: float):
     """One lane's polish: all-df32 mirror of ``solve_stagewise``'s
@@ -301,7 +313,7 @@ def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
             bwd, v0,
             (pp.A, pp.Bm, pp.K[0], pp.K[1], pp.K[2], pp.nF[0],
              pp.nF[1], pp.nF[2], qsh[:N], qsl[:N], hh, hl),
-            reverse=True)
+            reverse=True, unroll=_unroll(N))
 
         # ---- forward rollout ----
         def fwd(xs, inp):
@@ -334,7 +346,8 @@ def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
         xs0 = (x0, jnp.zeros_like(x0))
         _, (Uh, Ul, Xth, Xtl) = lax.scan(
             fwd, xs0,
-            (pp.A, pp.Bm, pp.d, pp.K[0], pp.K[1], pp.K[2], kkh, kkl))
+            (pp.A, pp.Bm, pp.d, pp.K[0], pp.K[1], pp.K[2], kkh, kkl),
+            unroll=_unroll(N))
         Xh = jnp.concatenate([x0[None], Xth], axis=0)
         Xl = jnp.concatenate([jnp.zeros((1, x), _F32), Xtl], axis=0)
 
