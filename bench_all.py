@@ -801,7 +801,7 @@ def config5():
                    "measured_device_ms_per_robot": round(
                        prof["measured_device_ms_per_tick"] / robots, 4),
                    "within_budget_device":
-                       prof["measured_device_ms_per_tick"]
+                       prof["measured_device_ms_per_tick"] / robots
                        <= BUDGET_MS_CONFIG5}),
                "tick_times_ms": [round(t * 1e3, 2) for t in times],
                "max_err_vs_exact": float(f"{u_err:.3g}"),
@@ -1196,7 +1196,7 @@ def config6():
                            prof["measured_device_ms_per_tick"]
                            / robots, 4),
                        "within_budget_device":
-                           prof["measured_device_ms_per_tick"]
+                           prof["measured_device_ms_per_tick"] / robots
                            <= budget_ms}),
                    "tick_times_ms": [round(t * 1e3, 2) for t in times],
                    "max_err_vs_exact": float(f"{u_err:.3g}"),

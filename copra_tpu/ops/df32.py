@@ -92,26 +92,8 @@ def df_add(xh, xl, yh, yl) -> Tuple[Array, Array]:
     return fast_two_sum(s, e)
 
 
-def df_add_f(xh, xl, y) -> Tuple[Array, Array]:
-    """df32 + f32."""
-    s, e = two_sum(xh, y)
-    e = e + xl
-    return fast_two_sum(s, e)
-
-
-def df_neg(xh, xl) -> Tuple[Array, Array]:
-    return -xh, -xl
-
-
 def df_sub(xh, xl, yh, yl) -> Tuple[Array, Array]:
     return df_add(xh, xl, -yh, -yl)
-
-
-def df_mul(xh, xl, yh, yl) -> Tuple[Array, Array]:
-    """df32 * df32 (~20 flops)."""
-    p, e = two_prod(xh, yh)
-    e = e + (xh * yl + xl * yh)
-    return fast_two_sum(p, e)
 
 
 def df_mul_f(xh, xl, y) -> Tuple[Array, Array]:
@@ -129,14 +111,6 @@ def df_mul_presplit(chh, chl, cl, xh, xl) -> Tuple[Array, Array]:
     p, e = two_prod_presplit(chh, chl, xh)
     e = e + (ch * xl + cl * xh)
     return fast_two_sum(p, e)
-
-
-def df_from_f64(a64) -> Tuple[Array, Array]:
-    """Split a float64 array into a df32 pair (build-time only; runs on
-    host/CPU — never trace this on TPU)."""
-    hi = a64.astype(jnp.float32)
-    lo = (a64 - hi.astype(a64.dtype)).astype(jnp.float32)
-    return hi, lo
 
 
 def df_to_f32(xh, xl) -> Array:

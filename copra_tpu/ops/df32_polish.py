@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .._precision import highest_precision
 from .df32 import (df_add, df_clip, df_mul_f, df_mul_presplit, df_sub,
                    df_to_f32)
 
@@ -175,7 +176,10 @@ def build_df32_polish_plan(sqp, options, Es: Optional[Array] = None,
         K[:, k] = Kk
         nF[:, k] = -Finv
         bvd[:, k] = np.einsum("buy,by->bu", BtV, d[:, k])
-        avd[:, k] = np.einsum("byz,by->bz", AtV, d[:, k])
+        # contract V's column index: avd = (A'V) d, NOT (A'V)' d — the
+        # wrong orientation is invisible on d=0 workloads and makes the
+        # polish diverge from the true optimum on drifting systems
+        avd[:, k] = np.einsum("byz,bz->by", AtV, d[:, k])
 
     qb = qx.copy()
     qb[:, :N] += avd
@@ -419,6 +423,7 @@ def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
             (c(*zXp), c(*zUp), c(*yXp), c(*yUp), c(*zSp), c(*ySp)))
 
 
+@highest_precision
 def df32_polish(pp: Df32PolishPlan, x0, X, U, warm, n_iter: int,
                 options) -> Tuple[Array, Array, tuple]:
     """Polish a batch of delivered stagewise iterates.

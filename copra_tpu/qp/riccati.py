@@ -1245,7 +1245,8 @@ def make_stagewise_step(sqp: StagewiseQP,
         plan_w = build_fused_plan(sqp_b, options)
         same_plan = all(
             getattr(options, f) == getattr(cold_options, f)
-            for f in ("rho", "sigma", "rho_eq_scale", "seed"))
+            for f in ("rho", "sigma", "rho_eq_scale", "seed",
+                      "polish_iters"))
         plan_c = plan_w if same_plan \
             else build_fused_plan(sqp_b, cold_options)
 
@@ -1277,6 +1278,17 @@ def make_stagewise_step(sqp: StagewiseQP,
             return out
 
         return tick
+
+    if getattr(options, "polish_iters", 0) > 0:
+        # the df32 polish is a fused-backend feature (it continues the
+        # kernel's delivered iterate); make an XLA fallback LOUD rather
+        # than silently serving floor-limited f32 accuracy
+        import warnings
+        warnings.warn(
+            "make_stagewise_step: options.polish_iters is applied by "
+            "the FUSED backend only — this XLA-path tick serves the "
+            "plain f32 iteration (~2e-5 floor on stiff problems).  Use "
+            "backend='fused', or f64 data on CPU.", stacklevel=2)
 
     def _run(opts):
         # serving ticks are lockstep fixed-count across lanes (and must

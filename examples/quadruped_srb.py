@@ -4,8 +4,9 @@ ANYbotics' copra drives quadrupeds (any ``(nrVar, nrConstr)`` through
 qpOASES — ``/root/reference/src/solvers/qpOASESSolver.cpp:66-118``);
 this example is that workload, TPU-native: x=12 states (rpy, position,
 angular rate, velocity), u=12 ground-reaction forces (3-D per leg),
-12 friction-cone rows per stage, LTV dynamics over the gait (footholds
-move with phase) — built entirely from the PUBLIC front-end:
+16 friction-cone rows per stage (all four pyramid faces), LTV dynamics
+over the gait (footholds move with phase) — built entirely from the
+PUBLIC front-end:
 
 * ``LTVSystem`` with per-stage ``A_k/B_k/d_k`` (torque arm follows the
   gait phase);
@@ -99,20 +100,21 @@ def build_problem(N: int = 40, dt: float = 0.025, mu: float = 0.6,
                              weights=jnp.full(12, 1e-5, f32)),
     )
 
-    # friction pyramids, per step: fx - mu fz <= 0, -fx - mu fz <= 0,
-    # fy - mu fz <= 0 per leg (12 rows)
-    G = np.zeros((12, 12), np.float32)
+    # friction pyramids, per step: all FOUR faces per leg
+    # (+/-fx - mu fz <= 0, +/-fy - mu fz <= 0) — 16 rows
+    G = np.zeros((16, 12), np.float32)
     for leg in range(4):
-        c0 = 3 * leg
-        G[c0 + 0, c0 + 0], G[c0 + 0, c0 + 2] = 1.0, -mu
-        G[c0 + 1, c0 + 0], G[c0 + 1, c0 + 2] = -1.0, -mu
-        G[c0 + 2, c0 + 1], G[c0 + 2, c0 + 2] = 1.0, -mu
+        r0, c0 = 4 * leg, 3 * leg
+        G[r0 + 0, c0 + 0], G[r0 + 0, c0 + 2] = 1.0, -mu
+        G[r0 + 1, c0 + 0], G[r0 + 1, c0 + 2] = -1.0, -mu
+        G[r0 + 2, c0 + 1], G[r0 + 2, c0 + 2] = 1.0, -mu
+        G[r0 + 3, c0 + 1], G[r0 + 3, c0 + 2] = -1.0, -mu
     xlb = np.full(12, -np.inf, np.float32)
     xub = np.full(12, np.inf, np.float32)
     xlb[0:3], xub[0:3] = -0.4, 0.4          # attitude envelope
     xlb[5], xub[5] = 0.2, 0.4               # height corridor
     constraints = (
-        ct.ControlConstraint(G=jnp.asarray(G), f=jnp.zeros(12, f32)),
+        ct.ControlConstraint(G=jnp.asarray(G), f=jnp.zeros(16, f32)),
         ct.ControlBoundConstraint.create(
             [-150.0, -150.0, 0.0] * 4, [150.0, 150.0, 250.0] * 4),
         ct.TrajectoryBoundConstraint.create(xlb, xub),

@@ -196,6 +196,29 @@ def test_polish_improves_row_problem():
         f"row polish too weak: {err0:.2e}->{err1:.2e}"
 
 
+def test_polish_improves_drifting_system():
+    """Regression: the polish plan's affine term is (A'V)d, whose
+    einsum orientation was once flipped — invisible on d == 0
+    workloads (every bench config), divergent on drifting systems
+    (gravity, LTV affine dynamics)."""
+    sqp_b = _box_problem(batch=8)
+    d = jnp.broadcast_to(jnp.asarray([0.02, -0.04], F32),
+                         sqp_b.d.shape[-2:])
+    sqp_b = dataclasses.replace(
+        sqp_b, d=jnp.broadcast_to(d, sqp_b.d.shape))
+    opts = ct.SolverOptions(max_iter=3000, early_exit=False, rho=0.1,
+                            polish=False)
+    U64 = _oracle64(sqp_b, opts)
+    _, U0, _ = solve_stagewise_fused(sqp_b, opts)
+    _, U1, _ = solve_stagewise_fused(sqp_b,
+                                     opts.replace(polish_iters=80))
+    err0 = np.abs(np.asarray(U0, np.float64) - U64).max()
+    err1 = np.abs(np.asarray(U1, np.float64) - U64).max()
+    assert err1 < err0, \
+        f"polish regressed on drifting system: {err0:.2e}->{err1:.2e}"
+    assert err1 <= 1e-5
+
+
 # ---- contracts --------------------------------------------------------
 
 def test_polish_requires_f32():

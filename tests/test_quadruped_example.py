@@ -43,7 +43,7 @@ def test_quadruped_front_end_dims():
     system, costs, cons, _ = build_problem(N=8)
     sqp = from_mpc(system, costs, cons)
     assert (sqp.horizon, sqp.xdim, sqp.udim) == (8, 12, 12)
-    assert sqp.nr_rows == 12          # friction rows, per stage
+    assert sqp.nr_rows == 16          # 4 pyramid faces x 4 legs
     # bound constraints landed as boxes, not rows
     assert float(sqp.uub[0, 2]) == 250.0
     assert float(sqp.xlb[0, 5]) == np.float32(0.2)
