@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 import copra_tpu as ct

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import copra_tpu as ct
 from copra_tpu.autospan import span_matrix
 from copra_tpu.ops import df32
-from copra_tpu.ops.df32_polish import build_df32_polish_plan, df32_polish
 from copra_tpu.ops.stagewise_kernel import solve_stagewise_fused
 from copra_tpu.qp.riccati import from_mpc, solve_stagewise
 
