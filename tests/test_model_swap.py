@@ -111,6 +111,77 @@ def test_stagewise_swap_matches_cold_rebuild():
     assert diff <= 3e-5, f"warm-carried vs cold rebuild: {diff:.2e}"
 
 
+def test_replan_reuses_compiled_tick_no_retrace():
+    """``StagewiseTick.replan`` swaps problem DATA behind the SAME
+    compiled tick programs: after the facade's three code paths (cold /
+    warm / swap-budget) have each run once, a further replan plus ticks
+    must not trace anything new (VERDICT r4 #1 no-re-trace contract)."""
+    from copra_tpu.qp.riccati import TICK_TRACE_COUNTERS
+    opts = ct.SolverOptions(max_iter=200, eps_abs=1e-9, eps_rel=0.0,
+                            early_exit=False, rho=1.0)
+    sqp_a, _ = _zmp_fleet(0.0)
+    tick = make_stagewise_step(sqp_a, opts, backend="xla")
+    x0 = jnp.zeros((2, 3), F32)
+    X, U, info, warm = tick(x0)                      # cold path
+    X, U, info, warm = tick(X[:, 1], warm)           # warm path
+    sqp_p, _ = _zmp_fleet(0.01)
+    tick.replan(sqp_p)
+    X, U, info, warm = tick(X[:, 1], warm)           # swap-budget path
+    n_traces = TICK_TRACE_COUNTERS["xla"]
+
+    sqp_b, _ = _zmp_fleet(0.02)
+    tick.replan(sqp_b)                               # same shapes
+    X, U, info, warm = tick(X[:, 1], warm)           # swap-budget tick
+    X, U, info, warm = tick(X[:, 1], warm)           # steady warm tick
+    assert TICK_TRACE_COUNTERS["xla"] == n_traces, \
+        "replan() re-traced the tick executor despite identical shapes"
+
+
+def test_replan_swap_budget_converges_fused():
+    """Fused backend: the first post-replan tick runs the swap budget
+    (cold_options) with the carried warm tuple, so the fleet converges
+    instead of shipping a half-solved tick; the second facade build and
+    replan rebuild only plan data (same compiled kernel)."""
+    from copra_tpu.qp.riccati import TICK_TRACE_COUNTERS
+    opts = ct.SolverOptions(max_iter=30, eps_abs=1e-6, eps_rel=0.0,
+                            early_exit=False, rho=1.0)
+    copts = opts.replace(max_iter=2000)
+    sqp_a, _ = _zmp_fleet(0.0, N=20)
+    tick = make_stagewise_step(sqp_a, opts, cold_options=copts,
+                               backend="fused")
+    x0 = jnp.zeros((2, 3), F32)
+    X, U, info, warm = tick(x0)
+    assert (np.asarray(info.status) == ct.STATUS_SOLVED).all()
+    X, U, info, warm = tick(X[:, 1], warm)
+
+    # prewarm the swap-budget code path, then count traces
+    sqp_p, _ = _zmp_fleet(0.005, N=20)
+    tick.replan(sqp_p)
+    X, U, info, warm = tick(X[:, 1], warm)
+    assert (np.asarray(info.status) == ct.STATUS_SOLVED).all(), \
+        "post-replan swap-budget tick did not converge"
+    n_traces = TICK_TRACE_COUNTERS["fused"]
+
+    sqp_b, _ = _zmp_fleet(0.02, N=20)
+    tick.replan(sqp_b)
+    Xb, Ub, info_b, warm = tick(X[:, 1], warm)
+    assert (np.asarray(info_b.status) == ct.STATUS_SOLVED).all()
+    assert TICK_TRACE_COUNTERS["fused"] == n_traces, \
+        "fused replan() re-traced despite identical shapes"
+    # the swap actually switched models: solution moved
+    assert np.abs(np.asarray(Ub) - np.asarray(U)).max() > 1e-4
+
+
+def test_replan_shape_mismatch_raises():
+    from copra_tpu.errors import DimensionError
+    opts = ct.SolverOptions(max_iter=50, early_exit=False, rho=1.0)
+    sqp_a, _ = _zmp_fleet(0.0, N=20)
+    tick = make_stagewise_step(sqp_a, opts, backend="xla")
+    sqp_other, _ = _zmp_fleet(0.0, N=30)
+    with pytest.raises(DimensionError):
+        tick.replan(sqp_other)
+
+
 def test_plan_step_swap_on_condensed_path():
     """The condensed serving path: rebuild make_control_plan after a
     cost/constraint swap, keep ticking; each fresh plan's step matches
