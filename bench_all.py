@@ -155,15 +155,19 @@ def _double_integrator(T=0.1):
 
 
 def _stagewise_line(config, metric_prefix, system, costs, constraints,
-                    plan, x0s, drift, batch, steps, switers, rho=None):
+                    plan, x0s, drift, batch, steps, switers=None,
+                    rho=None):
     """Shared FUSED-stagewise bench block for the N=10 configs: warm
     receding ticks (wall) + K chained ticks (marginal), gated vs the
-    exact f64 oracle of the same QPs.  ``rho=None`` runs the measured
-    policy (auto_rho_stagewise)."""
+    exact f64 oracle of the same QPs.  ``rho=None``/``switers=None`` run
+    the MEASURED policies (auto_rho_stagewise / auto_iters_stagewise) —
+    no hand-set serving constants (VERDICT r4 #4; CLAUDE.md doctrine:
+    serving rho is measured, not tuned)."""
     import jax
     import jax.numpy as jnp
     import copra_tpu as ct
-    from copra_tpu.qp.riccati import (auto_rho_stagewise, from_mpc,
+    from copra_tpu.qp.riccati import (auto_iters_stagewise,
+                                      auto_rho_stagewise, from_mpc,
                                       make_stagewise_step)
 
     sqp = from_mpc(system, costs, constraints)
@@ -175,18 +179,40 @@ def _stagewise_line(config, metric_prefix, system, costs, constraints,
         # probe REPRESENTATIVE FLEET lanes: a single-lane probe picks a
         # penalty tuned to one x0 that can fail fleet-wide (measured:
         # lane-0 probe picks 1.0 -> fleet err 0.8; 8-lane probe picks
-        # 0.03 -> 7e-6 on this workload)
+        # 0.03 -> 7e-6 on this workload).  The candidate grid includes
+        # the sub-0.03 decade the general-path auto_rho lands in
+        # (config 2 measured 0.0067 there — a 2x iteration win).
         rho = (float(os.environ["BENCH_RHO"]) if "BENCH_RHO" in os.environ
                else auto_rho_stagewise(
-                   sqp_b, ct.SolverOptions(max_iter=switers,
+                   sqp_b, ct.SolverOptions(max_iter=200,
                                            early_exit=False),
-                   probe_lanes=8, drift_scale=0.02))
+                   probe_lanes=8, drift_scale=0.02,
+                   candidates=(0.003, 0.01, 0.03, 0.1, 0.3, 1.0, 3.0)))
+    if switers is None:
+        # measured warm budget: smallest candidate whose whole-horizon
+        # tail error reaches the pre-polish f32 floor class (3e-5 —
+        # the df32 polish below then retires the floor under 1e-5;
+        # the exact-oracle gate verifies the delivered accuracy)
+        switers, sw_probe = auto_iters_stagewise(
+            sqp_b, ct.SolverOptions(early_exit=False, rho=rho),
+            probe_lanes=8, drift_scale=0.02,
+            candidates=(50, 100, 200, 300, 400, 600, 800),
+            target_applied_err=3e-5, target_tail_err=3e-5,
+            return_probe=True)
+        _emit({"config": config,
+               "metric": "measured fused-line policy (auto_rho + "
+                         "auto_iters, pre-polish floor gate)",
+               "chosen_iters": switers, "rho": float(f"{rho:.4g}"),
+               "pareto": {str(k): {kk: float(f"{vv:.3g}")
+                                   for kk, vv in v.items()}
+                          for k, v in sw_probe.items()}})
     # df32 polish: ~60 compensated-f32 iterations after the f32 phase
     # retire the kernel's ~2e-5 accuracy floor (ops/df32_polish.py) —
     # the fused throughput lines must sit inside the 1e-5 contract
     polish = int(os.environ.get("BENCH_SW_POLISH", 60))
     sopts = ct.SolverOptions(max_iter=switers, early_exit=False, rho=rho,
-                             polish_iters=polish)
+                             polish_iters=polish,
+                             topup_iters=2 * switers)
     tick = make_stagewise_step(sqp_b, sopts,
                                cold_options=sopts.replace(max_iter=2000),
                                backend="fused")
@@ -298,11 +324,12 @@ def config1():
 
     # Same workload through the FUSED stagewise kernel (box-only form):
     # throughput point at the first-order accuracy class — the accurate
-    # path above stays the 1e-12-class reference.  400 warm iters =
-    # measured conv-1.0 budget for this saturated box workload.
+    # path above stays the 1e-12-class reference.  rho AND the warm
+    # iteration budget are MEASURED (auto_rho/auto_iters_stagewise).
     _stagewise_line(1, "LTI double-integrator N=10 solves/s", system,
                     costs, constraints, plan, x0s, drift, batch, steps,
-                    switers=int(os.environ.get("BENCH_SW_ITERS", 400)))
+                    switers=(int(os.environ["BENCH_SW_ITERS"])
+                             if "BENCH_SW_ITERS" in os.environ else None))
 
 
 def config2():
@@ -375,12 +402,12 @@ def config2():
     # Same workload through the FUSED stagewise kernel: every config-2
     # constraint kind is per-stage-expressible (from_mpc), so the
     # long-horizon engine also wins at N=10 (per-stage rows get native
-    # z-step projections instead of dense C matvecs).  800 warm iters =
-    # measured conv-1.0 budget (the unconverged tail at fewer iterations
-    # is slow-rate, not stalled — docs/PERFORMANCE.md).
+    # z-step projections instead of dense C matvecs).  rho AND the warm
+    # budget are MEASURED (auto_rho/auto_iters_stagewise).
     _stagewise_line(2, "LTI N=10 full-constraint-set solves/s", system,
                     costs, constraints, plan, x0s, drift, batch, steps,
-                    switers=int(os.environ.get("BENCH_SW_ITERS", 800)))
+                    switers=(int(os.environ["BENCH_SW_ITERS"])
+                             if "BENCH_SW_ITERS" in os.environ else None))
 
 
 def config3():
@@ -645,7 +672,10 @@ def config5():
     # differ by one sample so the previous active set is almost right.
     # Both a single robot (latency floor: the sequential LQR sweep) and
     # the amortized fleet (the production shape — "many robots per chip").
-    wopts = opts.replace(max_iter=witers)
+    # topup_iters (VERDICT r4 #5): when any fleet lane misses the KKT
+    # tolerance after the fixed count, ONE bounded extra pass runs under
+    # a batch-level lax.cond — converged ticks pay only the check.
+    wopts = opts.replace(max_iter=witers, topup_iters=4 * witers)
 
     @jax.jit
     def cold(sqp_b, x0_b):
@@ -714,6 +744,7 @@ def config5():
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
+               "topup_iters": wopts.topup_iters,
                "converged_frac": float(np.mean(np.asarray(info.status)
                                                == 0))})
 
@@ -812,6 +843,7 @@ def config5():
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
+               "topup_iters": wopts.topup_iters,
                "converged_frac": float(np.mean(np.asarray(info.status)
                                                == 0))})
 
@@ -893,6 +925,7 @@ def config5():
                "zmp_err_vs_exact": float(f"{zmp_err:.3g}"),
                "polygon_violation": float(f"{viol:.3g}"),
                "iterations": witers,
+               "topup_iters": wopts.topup_iters,
                "converged_frac": float(np.mean(
                    np.asarray(statuses)[-1] == 0))})
 
@@ -1257,7 +1290,8 @@ def config6():
                "pareto": {str(k): {kk: float(f"{vv:.3g}")
                                    for kk, vv in v.items()}
                           for k, v in iters_probe.items()}})
-    wopts = opts.replace(max_iter=witers)
+    # batch-level convergence top-up, as in config 5 (VERDICT r4 #5)
+    wopts = opts.replace(max_iter=witers, topup_iters=4 * witers)
 
     for backend in ("fused", "xla"):
         for robots in ((1, int(os.environ.get("BENCH_ROBOTS", 128)))
@@ -1345,6 +1379,7 @@ def config6():
                        float(f"{u0_err / u_scale:.3g}"),
                    "control_scale_N": round(u_scale, 1),
                    "iterations": witers,
+               "topup_iters": wopts.topup_iters,
                    "converged_frac": float(np.mean(
                        np.asarray(info.status) == 0))})
 

@@ -31,12 +31,14 @@ from .costs import (ControlCost, CostFunction, MixedCost, SimpleControlCost,
 from .errors import (CopraError, DimensionError, InfeasibleProblemError,
                      InitializationError, SolverError)
 from .mpc import HESSIAN_RIDGE, LMPC, MPCResult, build_qp, solve_mpc
+from .solve import solve
 from .plan import (ControlPlan, make_control_plan, make_plan_multistep,
                    make_plan_step, plan_qp, plan_trajectory)
 from .qp.admm import solve_qp, solve_qp_batched
 from .qp.riccati import (StagewiseQP, auto_iters_stagewise,
                          auto_rho_stagewise, lqr_solve, lqr_solve_assoc,
-                         make_stagewise_multistep, make_stagewise_step,
+                         make_stagewise_multistep, make_stagewise_server,
+                         make_stagewise_step,
                          scale_stagewise, solve_mpc_stagewise,
                          solve_stagewise, stack_stagewise,
                          stagewise_scales)
@@ -51,7 +53,7 @@ from .systems import (LTISystem, LTVSystem, Preview, condense, condense_lti,
 __version__ = "0.1.0"
 
 __all__ = [
-    "LMPC", "MPCResult", "build_qp", "solve_mpc", "HESSIAN_RIDGE",
+    "LMPC", "MPCResult", "build_qp", "solve_mpc", "solve", "HESSIAN_RIDGE",
     "ControlPlan", "make_control_plan", "make_plan_step",
     "make_plan_multistep", "plan_qp",
     "plan_trajectory",
@@ -69,7 +71,7 @@ __all__ = [
     "solve_qp", "solve_qp_batched", "register_solver", "get_solver",
     "available_solvers",
     "StagewiseQP", "lqr_solve", "lqr_solve_assoc", "solve_stagewise",
-    "solve_mpc_stagewise", "make_stagewise_step",
+    "solve_mpc_stagewise", "make_stagewise_step", "make_stagewise_server",
     "make_stagewise_multistep", "stack_stagewise",
     "auto_rho_stagewise", "auto_iters_stagewise",
     "stagewise_scales", "scale_stagewise",

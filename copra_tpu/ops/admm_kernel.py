@@ -280,6 +280,338 @@ def fused_admm_box(Kinv: Array, K: Array, c: Array, l: Array, u: Array,
     return out
 
 
+LANES = 128          # TPU vector lane width (lane-major kernel unit)
+
+
+def _pad8(n: int) -> int:
+    return max(8, -(-n // 8) * 8)
+
+
+def lanes_kernel_fits(n: int, budget: float = 12.5e6) -> bool:
+    """Whether the lane-major kernel's per-chunk VMEM working set fits:
+    two ``[n, n, 128]`` f32 operators (``Kinv`` and ``K``) plus ~10
+    ``[n, 128]`` vectors.  n=100 (the headline) needs ~11 MB; the knee
+    is n~108.  ``COPRA_LANES_KERNEL=0`` disables the path."""
+    if os.environ.get("COPRA_LANES_KERNEL", "1") == "0":
+        return False
+    need = (2 * n * _pad8(n) * LANES + 12 * _pad8(n) * LANES) * 4
+    return need <= budget
+
+
+def pack_lanes_operator(M: Array) -> Array:
+    """Pack per-lane operators ``[B, n, n]`` into the lane-major chunked
+    layout ``[nc, np, np, LANES]`` with ``out[c, j, i, l] = M[c*L+l, j,
+    i]`` (lanes padded by repeating lane 0).  ONE-TIME cost at plan
+    build — the per-tick kernel then reads operators in their resident
+    layout (re-laying out 164 MB of ``Kinv`` per tick would eat the
+    win).
+
+    ``n`` is padded UP to a multiple of 8 with an IDENTITY diagonal
+    block: Mosaic miscompiles the row-broadcast matvec on tiles whose
+    sublane dim is not 8-aligned (measured: n=97/99/100 wrong by 0.5,
+    n=96/104 exact), and the identity pad keeps the padded coordinates
+    at exactly zero through every iteration (consistently for K and
+    K^-1, since inv(I) = I)."""
+    B, n, _ = M.shape
+    n_p = _pad8(n)
+    if n_p != n:
+        pad_idx = jnp.arange(n, n_p)
+        M = jnp.zeros((B, n_p, n_p), M.dtype).at[:, :n, :n].set(M) \
+            .at[:, pad_idx, pad_idx].set(1.0)
+    Bp = -(-B // LANES) * LANES
+    if Bp != B:
+        M = jnp.concatenate(
+            [M, jnp.broadcast_to(M[:1], (Bp - B, n_p, n_p))], axis=0)
+    return jnp.transpose(M.reshape(Bp // LANES, LANES, n_p, n_p),
+                         (0, 2, 3, 1))
+
+
+def _pack_lanes_vec(v: Array, Bp: int, n_p: int) -> Array:
+    """[B, n] -> [nc, np, LANES] (zero row pad, lane 0 lane pad — zeros
+    keep the identity-padded coordinates inert: clip(0, 0, 0) = 0)."""
+    B, n = v.shape
+    if n_p != n:
+        v = jnp.concatenate(
+            [v, jnp.zeros((B, n_p - n), v.dtype)], axis=1)
+    if Bp != B:
+        v = jnp.concatenate(
+            [v, jnp.broadcast_to(v[:1], (Bp - B, n_p))], axis=0)
+    return jnp.transpose(v.reshape(Bp // LANES, LANES, n_p), (0, 2, 1))
+
+
+def _unpack_lanes_vec(v: Array, B: int, n: int) -> Array:
+    """[nc, np, LANES] -> [B, n]."""
+    nc, n_p, L = v.shape
+    return jnp.transpose(v, (0, 2, 1)).reshape(nc * L, n_p)[:B, :n]
+
+
+def _lanes_matvec(m_ref, vref, n):
+    """Per-lane matvec on lane-major tiles: ``out[i, l] = sum_j
+    m[j, i, l] * v[j, l]`` — a sum of row-broadcast VPU FMAs over
+    ``[n, LANES]`` tiles (the streamed stagewise kernel's sweep form,
+    ``stagewise_kernel._streamed_tick_compute``).  No MXU: B distinct
+    ``n x n`` operators admit no shared-operand GEMM — the speed of
+    light for this op is the VPU/VMEM roofline, not the MXU's.
+
+    ``vref`` MUST be a VMEM ref, not a value: single-sublane row reads
+    of a ref lower correctly (the stagewise kernels' pattern), while
+    row-slices of a big vreg VALUE miscompiled on real Mosaic
+    (measured: 0.45 max error vs the oracle; interpret mode was
+    clean).  A 4-way-split accumulation was measured FLAT (0.560 vs
+    0.553 ms at the headline shape) — the loop is broadcast/VPU-
+    throughput bound, not FMA-latency bound, so keep the simple chain
+    (same summation order as the XLA twin)."""
+    _j0 = np.int32(0)
+    acc = m_ref[_j0] * vref[_j0:np.int32(1), :]
+    for j in range(1, n):
+        j32 = np.int32(j)
+        acc = acc + m_ref[j32] * vref[j32:np.int32(j + 1), :]
+    return acc
+
+
+def _lanes_box_compute(n_iter: int, n: int, refine: int, sigma, alpha,
+                       rho, kinv_v, k_v, scr, c, l, u, x0, z0, y0,
+                       x_ref, y_ref, z_ref, g_ref):
+    dt = c.dtype
+    sigma = jnp.asarray(sigma, dt)
+    alpha = jnp.asarray(alpha, dt)
+    rho = jnp.asarray(rho, dt)
+    rho_inv = jnp.asarray(1.0, dt) / rho
+    oma = jnp.asarray(1.0, dt) - alpha
+
+    def mv(m_ref, v):
+        scr[...] = v
+        return _lanes_matvec(m_ref, scr, n)
+
+    def body(_, carry):
+        x, z, y = carry
+        rhs = sigma * x - c + rho * z - y
+        xt = mv(kinv_v, rhs)
+        for _ in range(refine):
+            xt = xt + mv(kinv_v, rhs - mv(k_v, xt))
+        xn = alpha * xt + oma * x
+        zrel = alpha * xt + oma * z
+        zn = jnp.clip(zrel + rho_inv * y, l, u)
+        yn = y + rho * (zrel - zn)
+        return (xn, zn, yn)
+
+    x, z, y = lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), body,
+                            (x0, z0, y0))
+    x_ref[...] = x
+    z_ref[...] = z
+    y_ref[...] = y
+    g_ref[...] = mv(k_v, x) - (sigma + rho) * x
+
+
+def _lanes_box_kernel(n_iter: int, n_p: int, refine: int, sigma: float,
+                      alpha: float, rho: float,
+                      kinv_hbm, k_hbm, vin_hbm, x_hbm, y_hbm, z_hbm,
+                      g_hbm):
+    """Grid-per-chunk DMA wrapper: ALL operands stay whole-array HBM
+    refs; each grid step DMAs its own 128-lane chunk's operators +
+    vectors into explicitly-managed VMEM scratch (deterministic
+    footprint — auto-staging would double-buffer the 5 MB operators
+    past the 16 MB budget), runs every iteration on-chip, and DMAs the
+    results back.  No XLA-level chunk slicing (a lax.map over chunks
+    measured ~4 ms of dynamic-slice fusions per tick at the headline
+    shape — most of the win)."""
+    ch = pl.program_id(0)
+    _i0, _i1, _i2 = np.int32(0), np.int32(1), np.int32(2)
+
+    # n_iter == 0 uses the kernel as a pure batched Q-matvec (the plan
+    # path's status gradient): Kinv is never read — skip its 5 MB/chunk
+    # DMA (the pass is HBM-bound; this halves it)
+    need_kinv = n_iter > 0 or refine > 0
+
+    def body(kinv_v, k_v, vin_v, out_v, scr, sems):
+        cp_b = pltpu.make_async_copy(k_hbm.at[ch], k_v, sems.at[_i1])
+        cp_v = pltpu.make_async_copy(vin_hbm.at[ch], vin_v, sems.at[_i2])
+        if need_kinv:
+            cp_a = pltpu.make_async_copy(kinv_hbm.at[ch], kinv_v,
+                                         sems.at[_i0])
+            cp_a.start()
+        cp_b.start()
+        cp_v.start()
+        cp_v.wait()
+        if need_kinv:
+            cp_a.wait()
+        cp_b.wait()
+        vi = [vin_v[np.int32(i)] for i in range(6)]
+        _lanes_box_compute(n_iter, n_p, refine, sigma, alpha, rho,
+                           kinv_v, k_v, scr, vi[0], vi[1], vi[2],
+                           vi[3], vi[4], vi[5],
+                           out_v.at[np.int32(0)], out_v.at[np.int32(1)],
+                           out_v.at[np.int32(2)], out_v.at[np.int32(3)])
+        cps = [pltpu.make_async_copy(out_v.at[np.int32(i)], dst.at[ch],
+                                     sems.at[np.int32(i)])
+               for i, dst in enumerate((x_hbm, y_hbm, z_hbm, g_hbm))]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    pl.run_scoped(
+        body,
+        kinv_v=pltpu.VMEM(kinv_hbm.shape[1:], kinv_hbm.dtype),
+        k_v=pltpu.VMEM(k_hbm.shape[1:], k_hbm.dtype),
+        vin_v=pltpu.VMEM(vin_hbm.shape[1:], vin_hbm.dtype),
+        out_v=pltpu.VMEM((4, n_p, LANES), vin_hbm.dtype),
+        scr=pltpu.VMEM((n_p, LANES), vin_hbm.dtype),
+        sems=pltpu.SemaphoreType.DMA((4,)),
+    )
+
+
+def _lanes_box_kernel_z0(n_iter: int, n_p: int, nc: int, sigma: float,
+                         alpha: float, rho: float,
+                         kinv_hbm, vin_hbm, x_hbm, y_hbm, z_hbm, g_hbm,
+                         kinv2, vin2, out_v, scr, isems, osems):
+    """Zero-``x0`` fast path: ``K`` never enters the kernel — the dual
+    gradient input ``g = Q x`` comes from the recurrence ``w_{k+1} =
+    alpha rhs_k + (1-alpha) w_k`` (exact: ``K x_t = rhs`` by
+    construction, so ``K x_{k+1} = alpha rhs + (1-alpha) K x_k``; with
+    ``x_0 = 0``, ``w_0 = 0``).  Halves the operator DMA, and the
+    remaining ``Kinv`` stream is DOUBLE-BUFFERED across grid steps, so
+    the next chunk's operator loads while this chunk computes.  The
+    buffers arrive via ``scratch_shapes`` — pallas_call scratch PERSISTS
+    across grid steps, which the cross-step prefetch requires
+    (``run_scoped`` allocations are per-step and made the prefetch
+    target vanish — NaNs in interpret mode, silent luck on hardware)."""
+    ch = pl.program_id(0)
+    one = np.int32(1)
+    slot = lax.bitwise_and(ch, one)
+    nxt = lax.bitwise_xor(slot, one)
+
+    def start(c_idx, s_idx):
+        pltpu.make_async_copy(
+            kinv_hbm.at[c_idx], kinv2.at[s_idx],
+            isems.at[s_idx * np.int32(2)]).start()
+        pltpu.make_async_copy(
+            vin_hbm.at[c_idx], vin2.at[s_idx],
+            isems.at[s_idx * np.int32(2) + one]).start()
+
+    @pl.when(ch == 0)
+    def _():
+        start(ch, slot)
+
+    @pl.when(ch + one < np.int32(nc))
+    def _():
+        start(ch + one, nxt)
+
+    pltpu.make_async_copy(kinv_hbm.at[ch], kinv2.at[slot],
+                          isems.at[slot * np.int32(2)]).wait()
+    pltpu.make_async_copy(vin_hbm.at[ch], vin2.at[slot],
+                          isems.at[slot * np.int32(2) + one]).wait()
+
+    kinv_v = kinv2.at[slot]
+    vin_v = vin2.at[slot]
+    dt = vin_hbm.dtype
+    sg = jnp.asarray(sigma, dt)
+    al = jnp.asarray(alpha, dt)
+    rh = jnp.asarray(rho, dt)
+    rho_inv = jnp.asarray(1.0, dt) / rh
+    oma = jnp.asarray(1.0, dt) - al
+    c_, l_, u_ = (vin_v[np.int32(0)], vin_v[np.int32(1)],
+                  vin_v[np.int32(2)])
+    y0_, z0_ = vin_v[np.int32(4)], vin_v[np.int32(5)]
+    zero = jnp.zeros_like(c_)
+
+    def it(_, carry):
+        x, z, y, w = carry
+        rhs = sg * x - c_ + rh * z - y
+        scr[...] = rhs
+        xt = _lanes_matvec(kinv_v, scr, n_p)
+        xn = al * xt + oma * x
+        wn = al * rhs + oma * w
+        zrel = al * xt + oma * z
+        zn = jnp.clip(zrel + rho_inv * y, l_, u_)
+        yn = y + rh * (zrel - zn)
+        return (xn, zn, yn, wn)
+
+    x, z, y, w = lax.fori_loop(jnp.int32(0), jnp.int32(n_iter), it,
+                               (zero, z0_, y0_, zero))
+    out_v[np.int32(0)] = x
+    out_v[np.int32(1)] = y
+    out_v[np.int32(2)] = z
+    out_v[np.int32(3)] = w - (sg + rh) * x
+    cps = [pltpu.make_async_copy(out_v.at[np.int32(i)], dst.at[ch],
+                                 osems.at[np.int32(i)])
+           for i, dst in enumerate((x_hbm, y_hbm, z_hbm, g_hbm))]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
+                                             "rho", "refine",
+                                             "assume_x0_zero",
+                                             "interpret"))
+def fused_admm_box_lanes(KinvL: Array, KL: Array, c: Array, l: Array,
+                         u: Array, x0: Array, y0: Array, z0: Array, *,
+                         n_iter: int, sigma: float, alpha: float,
+                         rho: float, refine: int = 0,
+                         assume_x0_zero: bool = False,
+                         interpret: bool = False
+                         ) -> Tuple[Array, Array, Array, Array]:
+    """LANE-MAJOR distinct-operator box ADMM (VERDICT r4 #2).
+
+    ``KinvL/KL [nc, n, n, LANES]`` are the pre-packed lane-major
+    operators (:func:`pack_lanes_operator` — pack ONCE at plan build);
+    vectors are plain ``[B, n]``.  Each 128-lane chunk pins its
+    operators in VMEM and runs all iterations with the lane axis on the
+    128-wide vector axis, so the per-lane matvec is ``n`` full-width
+    VPU FMAs instead of a 1-row MXU matvec (the per-lane layout of
+    :func:`fused_admm_box` measured 1.8% MFU — neither compute- nor
+    bandwidth-bound; the lane-major form is VPU-saturating).  Same
+    update order as :func:`_box_kernel`; the XLA twin stays the oracle.
+    Returns ``(x, y, z, g)`` each ``[B, n]``, ``g = Q x``.
+    """
+    B, n = c.shape
+    nc, n_p = KinvL.shape[0], KinvL.shape[1]
+    Bp = nc * LANES
+    vin = jnp.stack([_pack_lanes_vec(a, Bp, n_p)
+                     for a in (c, l, u, x0, y0, z0)], axis=1)
+    aspec = pl.BlockSpec(memory_space=pltpu.HBM)
+    out_shape = tuple(jax.ShapeDtypeStruct((nc, n_p, LANES), c.dtype)
+                      for _ in range(4))
+    if assume_x0_zero and refine == 0 and n_iter > 0:
+        # K-free fast path with double-buffered Kinv prefetch (~1.7x on
+        # top of the single-buffered form; requires x0 == 0, which the
+        # accurate serving path guarantees — its correction space always
+        # starts at the origin)
+        kern = functools.partial(_lanes_box_kernel_z0, n_iter, n_p, nc,
+                                 float(sigma), float(alpha), float(rho))
+        outs = pl.pallas_call(
+            kern,
+            grid=(nc,),
+            in_specs=[aspec, aspec],
+            out_specs=tuple(aspec for _ in range(4)),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, n_p, n_p, LANES), c.dtype),
+                pltpu.VMEM((2, 6, n_p, LANES), c.dtype),
+                pltpu.VMEM((4, n_p, LANES), c.dtype),
+                pltpu.VMEM((n_p, LANES), c.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(KinvL, vin)
+    else:
+        kern = functools.partial(_lanes_box_kernel, n_iter, n_p,
+                                 int(refine), float(sigma),
+                                 float(alpha), float(rho))
+        outs = pl.pallas_call(
+            kern,
+            grid=(nc,),
+            in_specs=[aspec, aspec, aspec],
+            out_specs=tuple(aspec for _ in range(4)),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(KinvL, KL, vin)
+    return tuple(_unpack_lanes_vec(o, B, n) for o in outs)
+
+
 def _box_kernel_shared(n_iter: int, sigma: float, alpha: float,
                        rho: float, refine: int, half: int,
                        kinv_ref, k_ref, c_ref, l_ref, u_ref, x0_ref,

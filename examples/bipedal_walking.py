@@ -155,8 +155,8 @@ def serve_fleet(robots: int = 4, horizon: int = 300, T: float = 0.005,
     fleet = ct_.stack_stagewise([axis_sqp(ref[0], lo[0], hi[0]),
                                  axis_sqp(ref[1], lo[1], hi[1])],
                                 repeats=robots)
-    tick = make_stagewise_step(
-        fleet, ct.SolverOptions(max_iter=30, early_exit=False, rho=1.0))
+    # no-knobs serving: rho / warm budget / equilibration all MEASURED
+    tick = ct_.make_stagewise_server(fleet)
     lanes = 2 * robots
     x0 = jnp.zeros((lanes, 3), jnp.float32)
     X, U, info, warm = tick(x0)                      # cold start

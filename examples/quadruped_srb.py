@@ -123,41 +123,31 @@ def build_problem(N: int = 40, dt: float = 0.025, mu: float = 0.6,
 
 def serve(robots: int = 4, N: int = 40, ticks: int = 5,
           warm_iters=None, rho=None, verbose: bool = True):
-    """Receding-horizon fleet serving with the measured policies.
+    """Receding-horizon fleet serving, NO solver knobs.
 
-    ``rho``/``warm_iters`` override the probes (tests pass both to skip
-    the probe cost; production leaves them None = measured)."""
-    from copra_tpu.qp.riccati import (auto_iters_stagewise,
-                                      auto_rho_stagewise, from_mpc,
+    ``make_stagewise_server`` measures everything (equilibration, rho,
+    warm budget) and arms the convergence top-up; ``rho``/``warm_iters``
+    override the probes (tests pass both to skip the probe cost)."""
+    from copra_tpu.qp.riccati import (from_mpc, make_stagewise_server,
                                       make_stagewise_step,
-                                      scale_stagewise, stack_stagewise,
-                                      stagewise_scales)
+                                      stack_stagewise, stagewise_scales)
 
     system, costs, constraints, x_ref = build_problem(N)
     sqp = from_mpc(system, costs, constraints)
     fleet = stack_stagewise([sqp], repeats=robots)
 
-    opts = ct.SolverOptions(max_iter=300, early_exit=False, polish=False,
-                            eps_abs=1e-4)
-    # measured serving policies, probed on the EQUILIBRATED problem —
-    # the space the facade iterates in under scaling='auto' (rho/iters
-    # transfer 1:1); drift mapped into scaled space
-    scales = stagewise_scales(sqp)
     if rho is None or warm_iters is None:
-        probe = scale_stagewise(fleet, *scales)
-        drift = 0.002 / np.asarray(scales[0], np.float64)
-    if rho is None:
-        rho = auto_rho_stagewise(probe, opts.replace(max_iter=50),
-                                 cold_options=opts, probe_lanes=2,
-                                 drift_scale=drift)
-    opts = opts.replace(rho=float(rho))
-    if warm_iters is None:
-        warm_iters = auto_iters_stagewise(
-            probe, opts.replace(max_iter=50), cold_options=opts,
-            candidates=(20, 30, 50, 80), target_applied_err=1e-5,
-            drift_scale=drift)
-    tick = make_stagewise_step(fleet, opts.replace(max_iter=warm_iters),
-                               cold_options=opts, scaling=scales)
+        # no-knobs path: one call, all policies measured
+        tick, policy = make_stagewise_server(fleet, return_policy=True)
+        warm_iters = policy["warm_iters"]
+    else:
+        # explicit override path (tests: skip the probe cost)
+        opts = ct.SolverOptions(max_iter=300, early_exit=False,
+                                polish=False, eps_abs=1e-4,
+                                rho=float(rho))
+        tick = make_stagewise_step(
+            fleet, opts.replace(max_iter=int(warm_iters)),
+            cold_options=opts, scaling=stagewise_scales(sqp))
 
     x0 = jnp.asarray(np.broadcast_to(np.asarray(system.x0),
                                      (robots, 12)).copy())

@@ -220,13 +220,18 @@ def test_polish_improves_drifting_system():
 
 # ---- contracts --------------------------------------------------------
 
-def test_polish_requires_f32():
+def test_polish_noop_for_f64():
+    """polish_iters on f64 data is a NO-OP, not an error (ADVICE r4):
+    one SolverOptions carrying the polish must drive both the f32
+    serving plan and its f64 oracle/cross-validation builds."""
     sqp_b = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float64), _box_problem(batch=2))
-    opts = ct.SolverOptions(max_iter=10, early_exit=False,
+    opts = ct.SolverOptions(max_iter=400, early_exit=False,
                             polish_iters=10)
-    with pytest.raises(ValueError, match="f32"):
-        solve_stagewise_fused(sqp_b, opts)
+    X, U, info = solve_stagewise_fused(sqp_b, opts)
+    Xr, Ur, _ = solve_stagewise_fused(sqp_b, opts.replace(polish_iters=0))
+    np.testing.assert_allclose(np.asarray(U), np.asarray(Ur),
+                               rtol=0, atol=0)
 
 
 def test_polish_under_jit_needs_eager_plan():

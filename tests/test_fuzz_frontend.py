@@ -159,24 +159,23 @@ def test_random_frontend_cross_validation(seed):
     U_ref = np.asarray(ref.x)
     scale = max(1.0, np.abs(U_ref).max())
 
-    # absolute eps: the relative criterion exits too early for this
-    # contract (CLAUDE.md golden-contract note)
-    res = ct.solve_mpc(system, costs, constraints,
-                       ct.SolverOptions(max_iter=20000, eps_abs=1e-9,
-                                        eps_rel=0.0))
+    # NO-KNOBS entry point (VERDICT r4 #7): zero hand-set solver options
+    # — ct.solve inspects the problem, picks the engine/policies, and
+    # must meet the 1e-5 contract or report an honest status
+    res = ct.solve(system, costs, constraints)
+    assert int(np.asarray(res.solution.status)) == ct.STATUS_SOLVED, \
+        f"seed {seed}: ct.solve status {res.solution.inform()}"
     U_admm = np.asarray(res.control)
     err = np.abs(U_admm - U_ref).max() / scale
-    assert err <= 1e-5, f"seed {seed}: ADMM vs oracle rel err {err:.2e}"
+    assert err <= 1e-5, f"seed {seed}: ct.solve vs oracle rel err {err:.2e}"
 
     # dynamics replay on both paths (reference contract: <= 1e-10)
     assert float(ct.replay_dynamics(system, res.trajectory,
                                     res.control)) <= 1e-8
 
     if stagewise_ok:
-        _, U_sw, _ = ct.solve_mpc_stagewise(
-            system, costs, constraints,
-            ct.SolverOptions(max_iter=20000, eps_abs=1e-8, eps_rel=0.0))
-        U_st = np.asarray(U_sw).reshape(-1)
+        res_sw = ct.solve(system, costs, constraints, engine="stagewise")
+        U_st = np.asarray(res_sw.control).reshape(-1)
         err_st = np.abs(U_st - U_ref).max() / scale
         assert err_st <= 1e-4, \
             f"seed {seed}: stagewise vs oracle rel err {err_st:.2e}"

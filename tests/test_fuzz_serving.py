@@ -43,10 +43,11 @@ def test_plan_step_receding_matches_fresh_solves(seed):
     # eq_rows=False: equality right-hand sides are anchored at the
     # initial witness trajectory and can become infeasible once the
     # closed loop drifts the state (the front-end fuzz covers them)
+    # NO hand-set solver options (VERDICT r4 #7): the serving facade's
+    # defaults must carry the contract on arbitrary well-posed draws
     system, costs, constraints, _ = _draw_problem(seed, eq_rows=False)
-    opts = ct.SolverOptions(max_iter=20000, eps_abs=1e-9, eps_rel=0.0)
     plan = ct.make_control_plan(system, costs, constraints)
-    step = ct.make_plan_step(plan, opts)
+    step = ct.make_plan_step(plan)
 
     import dataclasses
     x0 = np.asarray(system.x0)
@@ -62,9 +63,9 @@ def test_plan_step_receding_matches_fresh_solves(seed):
         scale = max(1.0, np.abs(np.asarray(ref.x)).max())
         err_o = np.abs(np.asarray(U) - np.asarray(ref.x)).max() / scale
         assert err_o <= 1e-5, f"seed {seed} tick {t}: plan vs oracle {err_o:.2e}"
-        # fresh full-pipeline solve at the same state
+        # fresh full-pipeline NO-KNOBS solve at the same state
         sysd = dataclasses.replace(system, x0=np.asarray(x0))
-        res = ct.solve_mpc(sysd, costs, constraints, opts)
+        res = ct.solve(sysd, costs, constraints)
         err_f = np.abs(np.asarray(U) - np.asarray(res.control)).max() / scale
         assert err_f <= 2e-5, f"seed {seed} tick {t}: plan vs fresh {err_f:.2e}"
         x0 = _step_state(system, x0, U)
@@ -90,9 +91,9 @@ def test_stagewise_step_receding_matches_oracle(seed):
         size=(B, system.xdim))
     sqp_b = dataclasses.replace(sqp_b, x0=jnp.asarray(x0s))
 
-    opts = ct.SolverOptions(max_iter=6000, eps_abs=1e-8, eps_rel=0.0,
-                            early_exit=False)
-    tick = ct.make_stagewise_step(sqp_b, opts)
+    # default options: the facade's no-knobs budget must carry the
+    # 1e-4 oracle gate on arbitrary per-stage-expressible draws
+    tick = ct.make_stagewise_step(sqp_b)
 
     plan = ct.make_control_plan(system, costs, constraints)
     warm = None
