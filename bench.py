@@ -53,54 +53,10 @@ def _peaks(jax):
 
 
 def _trace_device_time(trace_dir, top_k=8):
-    """Parse a jax.profiler trace: total device busy time (s) and the
-    top-k device ops by time.  Returns ``(busy_s, [(name, s), ...])`` or
-    ``None`` when no device track is found (e.g. CPU-only runs)."""
-    import glob
-    import gzip
-
-    cands = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    if not cands:
-        return None
-    path = max(cands, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        data = json.load(f)
-    evs = data.get("traceEvents", [])
-    pid_names, tid_names = {}, {}
-    for e in evs:
-        if e.get("ph") != "M":
-            continue
-        if e.get("name") == "process_name":
-            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
-        elif e.get("name") == "thread_name":
-            tid_names[(e.get("pid"), e.get("tid"))] = \
-                e.get("args", {}).get("name", "")
-    dev_pids = {p for p, n in pid_names.items()
-                if any(k in n for k in ("TPU", "/device:", "Device"))
-                and "Host" not in n}
-    # device traces nest "XLA Modules" OVER "XLA Ops": summing both
-    # double-counts — restrict to the ops track when it exists
-    op_tracks = {(p, t) for (p, t), n in tid_names.items()
-                 if p in dev_pids and "XLA Ops" in n}
-    busy = 0.0
-    per_op = {}
-    for e in evs:
-        if e.get("ph") != "X":
-            continue
-        key = (e.get("pid"), e.get("tid"))
-        if op_tracks and key not in op_tracks:
-            continue
-        if not op_tracks and e.get("pid") not in dev_pids:
-            continue
-        dur = float(e.get("dur", 0.0)) * 1e-6
-        busy += dur
-        name = e.get("name", "?")
-        per_op[name] = per_op.get(name, 0.0) + dur
-    if busy == 0.0:
-        return None
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:top_k]
-    return busy, top
+    """Delegates to copra_tpu.profiling.trace_device_time (the library
+    home of the parser; kept as an alias for bench_all/bench_scaling)."""
+    from copra_tpu.profiling import trace_device_time
+    return trace_device_time(trace_dir, top_k)
 
 
 def _build_workload(batch, horizon, dtype_np=np.float32):

@@ -1052,6 +1052,66 @@ def config5():
         sw_err = max(sw_err, np.abs(U_l - Ue).max())
         sw0_err = max(sw0_err, abs(float(U_l[0]) - float(Ue[0])))
         sw_sc = max(sw_sc, np.abs(Ue).max())
+    # Single-tick WALL floor in THIS environment (VERDICT r4 #8).  The
+    # K=16 multistep chain is the closable-loop artifact; this line
+    # bounds what a K=1 tick STREAM can achieve through the dev tunnel
+    # with a depth-1 pre-dispatch pipeline — enqueue tick k+1 (JAX
+    # dispatch is async; the warm tuple is a device future) BEFORE
+    # blocking on tick k's control, so dispatch overlaps device work.
+    # The bare tunnel round-trip floor is measured beside it: no tick
+    # can beat it from this host.
+    t_id = jax.jit(lambda a: a + 1.0)
+    xsmall = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(t_id(xsmall))
+    floors = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(t_id(xsmall))
+        floors.append(time.perf_counter() - t0)
+    tunnel_floor_ms = float(np.median(floors)) * 1e3
+    Tn = 12
+    rngf = np.random.default_rng(12)
+    x0_fl = [jnp.asarray(np.cumsum(rngf.normal(
+        scale=0.002, size=(t + 1, 2, 3)), axis=0)[-1].astype(np.float32))
+        for t in range(Tn)]
+    # naive blocking stream (block every tick)
+    warm_n = warm2
+    X_, U_, _, warm_n = tick_r(x0_fl[0], warm_n)
+    jax.block_until_ready(U_)
+    t0 = time.perf_counter()
+    for t in range(1, Tn):
+        X_, U_, _, warm_n = tick_r(x0_fl[t], warm_n)
+        jax.block_until_ready(U_)
+    naive_ms = (time.perf_counter() - t0) / (Tn - 1) * 1e3
+    # depth-1 pre-dispatch pipeline
+    warm_p = warm_n
+    prev_u = None
+    t0 = time.perf_counter()
+    for t in range(Tn):
+        X_, U_, _, warm_p = tick_r(x0_fl[t], warm_p)
+        if prev_u is not None:
+            jax.block_until_ready(prev_u)
+        prev_u = U_
+    jax.block_until_ready(prev_u)
+    pipe_ms = (time.perf_counter() - t0) / Tn * 1e3
+    _emit({"config": 5,
+           "metric": "single-robot single-tick WALL floor (K=1 stream, "
+                     "depth-1 pre-dispatch pipeline vs blocking ticks; "
+                     "dev-tunnel environment)",
+           "single_tick_wall_floor_ms": round(pipe_ms, 2),
+           "technique": "enqueue tick k+1 (async dispatch, warm tuple "
+                        "stays a device future) before blocking on "
+                        "tick k's control",
+           "blocking_tick_wall_ms": round(naive_ms, 2),
+           "tunnel_roundtrip_floor_ms": round(tunnel_floor_ms, 2),
+           "iterations": witers,
+           "budget_ms": BUDGET_MS_CONFIG5,
+           "note": "wall latencies here include the dev tunnel; the "
+                   "measured device time per tick is the deploy number "
+                   "(see the fused robots=1 line) and the bare tunnel "
+                   "round-trip bounds any single-tick wall from this "
+                   "host"})
+
     _emit({"config": 5,
            "metric": "bipedal footstep REPLAN: StagewiseTick.replan "
                      "(data-only plan rebuild, compiled tick/rho/policy "
@@ -1384,7 +1444,87 @@ def config6():
                        np.asarray(info.status) == 0))})
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5, 6: config6}
+def config8():
+    """Runtime deadline enforcement validated ON-CHIP (VERDICT r4 #6).
+
+    ``max_wall_time_ms`` is the qpOASES ``maxCpuTime`` analog
+    (``/root/reference/src/solvers/qpOASESSolver.cpp:108-111``): a
+    traced deadline is impossible in a compiled XLA program, so the
+    LMPC facade measures the problem's marginal cost per iteration and
+    precomputes the iteration budget.  This config PROVES the budget is
+    honored where it matters: the calibration's marginal now comes from
+    PROFILER DEVICE TIME (tunnel walls of repeated near-identical calls
+    report fantasy rates — CLAUDE.md doctrine), and for each budget the
+    measured solve wall must sit within 1.2x of (budget + measured
+    dispatch overhead); budgets below the measured per-dispatch
+    overhead are reported honestly infeasible for THIS environment
+    (the facade's ``budget_feasible`` flag) with the device-basis
+    compliance beside them.
+    """
+    jax = _setup_jax()
+    import copra_tpu as ct
+
+    N = 100
+    A, B, d = _double_integrator(T=0.005)
+    system = ct.LTISystem.create(A.astype(np.float32),
+                                 B.astype(np.float32),
+                                 d.astype(np.float32),
+                                 np.array([0.0, -1.5], np.float32), N)
+    costs = (ct.TargetCost.create(np.eye(2, dtype=np.float32),
+                                  np.array([0.0, -1.0], np.float32),
+                                  weights=np.array([10.0, 1e4],
+                                                   np.float32)),
+             ct.ControlCost.create(np.array([[1.0]], np.float32),
+                                   np.array([2.0], np.float32),
+                                   weights=np.array([1e-4], np.float32)))
+    rng = np.random.default_rng(8)
+
+    for budget in (2.0, 5.0, 20.0, 50.0):
+        ctrl = ct.LMPC(system)
+        for c in costs:
+            ctrl.add_cost(c)
+        # move-semantics constraints: one instance per controller
+        ctrl.add_constraint(
+            ct.ControlBoundConstraint.create([-60.0], [60.0]))
+        ctrl.options = ct.SolverOptions(
+            max_iter=4000, early_exit=False, polish=False,
+            max_wall_time_ms=budget)
+        ok = ctrl.solve()                      # calibrates + solves
+        info = ctrl.deadline_info()
+        walls = []
+        for _ in range(5):
+            # VARY x0 between timed solves: tunnel walls of repeated
+            # near-identical calls report fantasy rates (CLAUDE.md)
+            ctrl.set_initial_state(
+                np.asarray([0.0, -1.5], np.float32)
+                + rng.normal(scale=0.02, size=2).astype(np.float32))
+            t0 = time.perf_counter()
+            ctrl.solve(warm_start=True)
+            walls.append((time.perf_counter() - t0) * 1e3)
+        wall_med = float(np.median(walls))
+        dev_ms = info["marginal_ms_per_iter"] * info["budget_iters"]
+        feasible = bool(info.get("budget_feasible", True))
+        _emit({"config": 8,
+               "metric": f"max_wall_time_ms deadline enforcement "
+                         f"(budget {budget:g} ms, device-profiler "
+                         f"calibration, N=100 LTI)",
+               "budget_ms": budget,
+               "budget_iters": info["budget_iters"],
+               "marginal_ms_per_iter": round(
+                   info["marginal_ms_per_iter"], 5),
+               "overhead_ms": round(info["overhead_ms"], 2),
+               "calibration_basis": info.get("calibration_basis"),
+               "budget_feasible_in_env": feasible,
+               "measured_wall_ms_median": round(wall_med, 2),
+               "within_wall_budget":
+                   wall_med <= 1.2 * (budget + info["overhead_ms"]),
+               "device_ms_at_budget_iters": round(dev_ms, 3),
+               "within_device_budget": dev_ms <= budget,
+               "solved": bool(ok)})
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 5: config5, 6: config6,
+           8: config8}
 
 
 def main():

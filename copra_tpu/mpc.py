@@ -286,24 +286,79 @@ class LMPC:
         args = (self._system, tuple(self._costs),
                 tuple(self._constraints), None)
         wall = {}
+        dev = {}
+        on_accel = jax.default_backend() in ("tpu", "axon")
         for n in (lo_i, hi_i):
             popts = self._options.replace(
                 max_iter=n, early_exit=False, max_wall_time_ms=None,
                 print_level=0, infeasibility_detection=False)
             fn = self._pipeline_for(popts)
             jax.block_until_ready(fn(*args))      # compile
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            wall[n] = (time.perf_counter() - t0) * 1e3
-        marginal = max((wall[hi_i] - wall[lo_i]) / (hi_i - lo_i), 1e-7)
-        overhead = max(wall[lo_i] - marginal * lo_i, 0.0)
+            import numpy as _np
+            walls = []
+            rng = _np.random.default_rng(0)
+            for _ in range(3):
+                # VARY x0 per probe call: tunnel walls of repeated
+                # near-identical calls report fantasy rates in both
+                # directions (CLAUDE.md doctrine) — a jittered initial
+                # state keeps each dispatch genuinely distinct at
+                # identical cost
+                x0j = _np.asarray(self._system.x0)
+                x0j = x0j + rng.normal(scale=1e-4, size=x0j.shape) \
+                    .astype(x0j.dtype)
+                sys_j = self._system.with_x0(x0j)
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(sys_j, *args[1:]))
+                walls.append((time.perf_counter() - t0) * 1e3)
+            wall[n] = float(_np.median(walls))
+            if on_accel:
+                # DEVICE-time marginal (VERDICT r4 #6): tunnel walls of
+                # repeated near-identical calls report fantasy rates in
+                # both directions (CLAUDE.md doctrine) — the profiler's
+                # device-op durations are the trustworthy per-iteration
+                # cost; the wall stays only in the additive overhead
+                # term (a real-time caller pays dispatch too).
+                import tempfile
+                try:
+                    from bench import _trace_device_time
+                except ImportError:             # pragma: no cover
+                    _trace_device_time = None
+                if _trace_device_time is not None:
+                    td = tempfile.mkdtemp(prefix="lmpc_deadline_")
+                    K = 3
+                    with jax.profiler.trace(td):
+                        out = None
+                        for _ in range(K):
+                            out = fn(*args)
+                        jax.block_until_ready(out)
+                    parsed = _trace_device_time(td)
+                    if parsed:
+                        dev[n] = parsed[0] / K * 1e3
+        if len(dev) == 2:
+            marginal = max((dev[hi_i] - dev[lo_i]) / (hi_i - lo_i), 1e-7)
+            overhead = max(wall[lo_i] - dev[lo_i], 0.0) \
+                + max(dev[lo_i] - marginal * lo_i, 0.0)
+            basis = "device-profiler"
+        else:
+            marginal = max((wall[hi_i] - wall[lo_i]) / (hi_i - lo_i),
+                           1e-7)
+            overhead = max(wall[lo_i] - marginal * lo_i, 0.0)
+            basis = "wall"
         budget_iters = int((budget_ms - overhead) / marginal)
         budget_iters = max(1, min(budget_iters, self._options.max_iter))
         return {"budget_ms": budget_ms,
                 "marginal_ms_per_iter": marginal,
                 "overhead_ms": overhead,
                 "budget_iters": budget_iters,
-                "probe_wall_ms": wall}
+                "calibration_basis": basis,
+                # honest infeasibility: when the measured per-dispatch
+                # overhead alone exceeds the budget, no iteration count
+                # can meet the wall deadline in THIS environment (the
+                # dev tunnel's ~20 ms dispatch); the caller sees it
+                # rather than a silently-meaningless budget_iters
+                "budget_feasible": overhead < budget_ms,
+                "probe_wall_ms": wall,
+                "probe_device_ms": dev or None}
 
     def deadline_info(self) -> Optional[dict]:
         """The measured ``max_wall_time_ms`` calibration (None until the

@@ -206,20 +206,35 @@ def _mul_c(c, idx, xh, xl):
     return df_mul_presplit(c[0][idx], c[1][idx], c[2][idx], xh, xl)
 
 
-def _unroll(N: int) -> int:
+def _target_platform(a) -> str:
+    """Platform the polish will actually run on: the input array's
+    committed device when concrete (a CPU-pinned run inside a
+    TPU-default process must get the CPU unroll — ADVICE r4), else the
+    process default backend (tracers carry no device)."""
+    try:
+        devs = a.devices() if callable(getattr(a, "devices", None)) \
+            else None
+        if devs:
+            return next(iter(devs)).platform
+    except Exception:               # tracer / abstract value
+        pass
+    return jax.default_backend()
+
+
+def _unroll(N: int, platform: str) -> int:
     """Stage-scan unroll factor: the per-stage bodies are dozens of
     tiny elementwise ops, so short horizons are scan-overhead-bound on
     TPU — unrolling them lets XLA fuse across stages (measured: 60
     polish iters 23 -> 9.3 ms device on the config-1 shape).  CPU keeps
     rolled scans: the same unroll inflates CPU x64 compile >10x for no
     runtime need."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    if platform not in ("tpu", "axon"):
         return 1
     return N if N <= 16 else 4
 
 
 def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
-                 alpha: float, sigma: float):
+                 alpha: float, sigma: float, platform: str = None):
     """One lane's polish: all-df32 mirror of ``solve_stagewise``'s
     ``one_iter`` (assembly -> bwd sweep -> fwd rollout -> project).
 
@@ -317,7 +332,8 @@ def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
             bwd, v0,
             (pp.A, pp.Bm, pp.K[0], pp.K[1], pp.K[2], pp.nF[0],
              pp.nF[1], pp.nF[2], qsh[:N], qsl[:N], hh, hl),
-            reverse=True, unroll=_unroll(N))
+            reverse=True,
+            unroll=_unroll(N, platform or jax.default_backend()))
 
         # ---- forward rollout ----
         def fwd(xs, inp):
@@ -351,7 +367,7 @@ def _polish_lane(pp: Df32PolishPlan, x0, X0, U0, warm, n_iter: int,
         _, (Uh, Ul, Xth, Xtl) = lax.scan(
             fwd, xs0,
             (pp.A, pp.Bm, pp.d, pp.K[0], pp.K[1], pp.K[2], kkh, kkl),
-            unroll=_unroll(N))
+            unroll=_unroll(N, platform or jax.default_backend()))
         Xh = jnp.concatenate([x0[None], Xth], axis=0)
         Xl = jnp.concatenate([jnp.zeros((1, x), _F32), Xtl], axis=0)
 
@@ -435,7 +451,8 @@ def df32_polish(pp: Df32PolishPlan, x0, X, U, warm, n_iter: int,
     (``solve_stagewise_fused`` recomputes them from the polished
     iterates).
     """
+    platform = _target_platform(x0)
     run = jax.vmap(lambda p, x0_, X_, U_, w: _polish_lane(
         p, x0_, X_, U_, w, n_iter, float(options.alpha),
-        float(options.sigma)))
+        float(options.sigma), platform))
     return run(pp, x0, X, U, warm)

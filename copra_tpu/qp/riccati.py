@@ -1766,6 +1766,13 @@ def make_stagewise_multistep(sqp: StagewiseQP,
     ``statuses`` carries every tick's per-lane status).  ``n_ticks`` is
     a static compile-time constant (one compilation per distinct value).
 
+    With ``scaling`` enabled, states/controls are ORIGINAL units but
+    ``info``'s residuals and the statuses derived from them live in the
+    SCALED (equilibrated) space — the norm the eps tolerances are
+    calibrated for; do not compare them against original-unit
+    tolerances (ADVICE r4; same convention as
+    :func:`make_stagewise_step`).
+
     **Rollout pairing** (ADVICE r3): the returned arrays always form a
     consistent closed-loop rollout, ``states[k+1] == plant(states[k],
     U0s[k])``.  In plant mode with ``warm=None`` the leading cold tick's
