@@ -156,7 +156,7 @@ def _double_integrator(T=0.1):
 
 def _stagewise_line(config, metric_prefix, system, costs, constraints,
                     plan, x0s, drift, batch, steps, switers=None,
-                    rho=None):
+                    rho=None, polish_default=60):
     """Shared FUSED-stagewise bench block for the N=10 configs: warm
     receding ticks (wall) + K chained ticks (marginal), gated vs the
     exact f64 oracle of the same QPs.  ``rho=None``/``switers=None`` run
@@ -206,10 +206,13 @@ def _stagewise_line(config, metric_prefix, system, costs, constraints,
                "pareto": {str(k): {kk: float(f"{vv:.3g}")
                                    for kk, vv in v.items()}
                           for k, v in sw_probe.items()}})
-    # df32 polish: ~60 compensated-f32 iterations after the f32 phase
-    # retire the kernel's ~2e-5 accuracy floor (ops/df32_polish.py) —
-    # the fused throughput lines must sit inside the 1e-5 contract
-    polish = int(os.environ.get("BENCH_SW_POLISH", 60))
+    # df32 polish: the compensated-f32 pass after the f32 phase retires
+    # the kernel's ~2e-5 accuracy floor (ops/df32_polish.py) — the fused
+    # throughput lines must sit inside the 1e-5 contract.  The budget is
+    # per-config MEASURED: config 2's polish converges by ~25 iters
+    # (gate 5.2e-7 at 25 vs 6.2e-7 at 60 — flat, 15.6 ms saved), config
+    # 1's needs the fuller 60 (gate 3.95e-6).
+    polish = int(os.environ.get("BENCH_SW_POLISH", polish_default))
     sopts = ct.SolverOptions(max_iter=switers, early_exit=False, rho=rho,
                              polish_iters=polish,
                              topup_iters=2 * switers)
@@ -407,7 +410,8 @@ def config2():
     _stagewise_line(2, "LTI N=10 full-constraint-set solves/s", system,
                     costs, constraints, plan, x0s, drift, batch, steps,
                     switers=(int(os.environ["BENCH_SW_ITERS"])
-                             if "BENCH_SW_ITERS" in os.environ else None))
+                             if "BENCH_SW_ITERS" in os.environ else None),
+                    polish_default=25)
 
 
 def config3():

@@ -307,6 +307,53 @@ def multiprocess_cluster(sizes):
     return out
 
 
+def independent_devices_control(jax, sizes, all_devices):
+    """K INDEPENDENT single-device jitted solves in ONE process — no
+    mesh, no collectives, no sharding; just the single-process runtime
+    driving K devices.  Decomposes the virtual-mesh loss (VERDICT r4
+    #3): (this / K-process ceiling) prices the single-process runtime
+    (host dispatch serialization + shared threadpool); (mesh / this)
+    prices the GSPMD/sharded-solve increment on top."""
+    import copra_tpu as ct
+    from copra_tpu.parallel import (batch_axes, make_mesh,
+                                    make_sharded_mpc_step, shard_batch)
+
+    per_device = int(os.environ.get("BENCH_PER_DEVICE", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 60))
+    steps = int(os.environ.get("BENCH_STEPS", 3))
+    costs, constraints, fleet = _workload()
+    out = {}
+    for nd in sizes:
+        lanes = []
+        for d in all_devices[:nd]:
+            mesh_d = make_mesh(devices=[d])
+            system_d = fleet(per_device)
+            system_d = shard_batch(system_d, mesh_d,
+                                   reference=batch_axes(system_d))
+            step_d = make_sharded_mpc_step(
+                mesh_d, costs, constraints,
+                ct.SolverOptions(max_iter=iters))
+            res, _ = step_d(system_d, None)
+            jax.block_until_ready(res.control)
+            warm = ct.WarmStart(x=res.solution.x, y=res.solution.y,
+                                z=res.solution.z)
+            res, _ = step_d(system_d, warm)
+            lanes.append((step_d, system_d, warm, res.control))
+        jax.block_until_ready([l[3] for l in lanes])
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(steps):
+            outs = [step_d(system_d, warm)[0].control
+                    for step_d, system_d, warm, _ in lanes]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        out[nd] = per_device * nd * steps / dt
+        print(json.dumps({
+            "independent_devices_in_one_process": nd,
+            "solves_per_s": round(out[nd], 1)}))
+    return out
+
+
 def main():
     jax = _setup_jax()
     import copra_tpu as ct
@@ -362,6 +409,20 @@ def main():
         ceilings_full = contention_ceiling(sizes)
         ceilings = {nd: v[0] for nd, v in ceilings_full.items()}
         eff_vs = {nd: results[nd] / ceilings[nd] for nd in sizes}
+        # decomposition control: K independent per-device solves in ONE
+        # process (no mesh/collectives) — prices the single-process
+        # runtime separately from the sharded-solve increment
+        indep = independent_devices_control(jax, sizes, all_devices)
+        print(json.dumps({
+            "metric": "virtual-mesh loss decomposition: single-process "
+                      "runtime vs sharded-solve increment",
+            "single_process_runtime_efficiency":
+                {str(k): round(indep[k] / ceilings[k], 3)
+                 for k in sizes},
+            "mesh_vs_independent_devices":
+                {str(k): round(results[k] / indep[k], 3)
+                 for k in sizes},
+        }))
         print(json.dumps({
             "metric": "virtual-mesh efficiency vs measured core-"
                       "contention ceiling (K independent 1-device "
@@ -426,6 +487,15 @@ def main():
                         "efficiency_vs_contention_ceiling":
                             {str(k): round(v, 3)
                              for k, v in eff_vs.items()},
+                        "independent_devices_one_process":
+                            {str(k): round(v, 1)
+                             for k, v in indep.items()},
+                        "single_process_runtime_efficiency":
+                            {str(k): round(indep[k] / ceilings[k], 3)
+                             for k in sizes},
+                        "mesh_vs_independent_devices":
+                            {str(k): round(results[k] / indep[k], 3)
+                             for k in sizes},
                         **summary}, f, indent=1)
 
 
