@@ -568,6 +568,15 @@ def solve_qp(qp: DenseQP, options: SolverOptions = SolverOptions(),
     status = jnp.where(conv & finite, STATUS_SOLVED,
                        STATUS_MAX_ITER).astype(jnp.int32)
     status = jnp.where(infeas_code > 0, infeas_code, status)
+    # crossed bounds/rows make the projection set provably EMPTY —
+    # jnp.clip(v, lo, hi) with lo > hi silently collapses to hi and the
+    # consensus gap reads zero, so the Farkas machinery never sees it
+    # (OSQP validates l <= u at setup; the stagewise engine already has
+    # this check — caught by test_solve_noknobs on the condensed path)
+    crossed = jnp.any(qp.lb > qp.ub)
+    status = jnp.where(crossed,
+                       jnp.asarray(STATUS_PRIMAL_INFEASIBLE, jnp.int32),
+                       status)
     return QPSolution(x=x, y=y, z=z, status=status, iterations=iters,
                       primal_residual=r_prim, dual_residual=r_dual)
 
