@@ -542,6 +542,58 @@ def _lanes_box_kernel_z0(n_iter: int, n_p: int, nc: int, sigma: float,
         cp.wait()
 
 
+def _lanes_qx_kernel(n_p: int, nc: int, sigma: float, rho: float,
+                     k_hbm, vin_hbm, x_hbm, y_hbm, z_hbm, g_hbm,
+                     k2, vin2, out_v, scr, isems, osems):
+    """Pure batched ``g = Q x0`` pass (the plan path's status gradient):
+    the ``n_iter = 0`` fast path.  HBM-BOUND by construction (one K
+    stream), so the K chunks are double-buffered across grid steps —
+    the DMA of chunk ch+1 overlaps chunk ch's matvec."""
+    ch = pl.program_id(0)
+    one = np.int32(1)
+    slot = lax.bitwise_and(ch, one)
+    nxt = lax.bitwise_xor(slot, one)
+
+    def start(c_idx, s_idx):
+        pltpu.make_async_copy(
+            k_hbm.at[c_idx], k2.at[s_idx],
+            isems.at[s_idx * np.int32(2)]).start()
+        pltpu.make_async_copy(
+            vin_hbm.at[c_idx], vin2.at[s_idx],
+            isems.at[s_idx * np.int32(2) + one]).start()
+
+    @pl.when(ch == 0)
+    def _():
+        start(ch, slot)
+
+    @pl.when(ch + one < np.int32(nc))
+    def _():
+        start(ch + one, nxt)
+
+    pltpu.make_async_copy(k_hbm.at[ch], k2.at[slot],
+                          isems.at[slot * np.int32(2)]).wait()
+    pltpu.make_async_copy(vin_hbm.at[ch], vin2.at[slot],
+                          isems.at[slot * np.int32(2) + one]).wait()
+    k_v = k2.at[slot]
+    vin_v = vin2.at[slot]
+    dt = vin_hbm.dtype
+    sg = jnp.asarray(sigma, dt)
+    rh = jnp.asarray(rho, dt)
+    x0 = vin_v[np.int32(3)]
+    scr[...] = x0
+    out_v[np.int32(0)] = x0
+    out_v[np.int32(1)] = vin_v[np.int32(4)]
+    out_v[np.int32(2)] = vin_v[np.int32(5)]
+    out_v[np.int32(3)] = _lanes_matvec(k_v, scr, n_p) - (sg + rh) * x0
+    cps = [pltpu.make_async_copy(out_v.at[np.int32(i)], dst.at[ch],
+                                 osems.at[np.int32(i)])
+           for i, dst in enumerate((x_hbm, y_hbm, z_hbm, g_hbm))]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+
 @functools.partial(jax.jit, static_argnames=("n_iter", "sigma", "alpha",
                                              "rho", "refine",
                                              "assume_x0_zero",
@@ -597,6 +649,27 @@ def fused_admm_box_lanes(KinvL: Array, KL: Array, c: Array, l: Array,
             ],
             interpret=interpret,
         )(KinvL, vin)
+    elif n_iter == 0 and refine == 0:
+        # pure Q-matvec pass (status gradient) — HBM-bound; K stream
+        # double-buffered, Kinv never read
+        kern = functools.partial(_lanes_qx_kernel, n_p, nc,
+                                 float(sigma), float(rho))
+        outs = pl.pallas_call(
+            kern,
+            grid=(nc,),
+            in_specs=[aspec, aspec],
+            out_specs=tuple(aspec for _ in range(4)),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, n_p, n_p, LANES), c.dtype),
+                pltpu.VMEM((2, 6, n_p, LANES), c.dtype),
+                pltpu.VMEM((4, n_p, LANES), c.dtype),
+                pltpu.VMEM((n_p, LANES), c.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(KL, vin)
     else:
         kern = functools.partial(_lanes_box_kernel, n_iter, n_p,
                                  int(refine), float(sigma),

@@ -441,8 +441,14 @@ def _make_accurate_step(plan: ControlPlan, options: SolverOptions,
         # per-lane matvec layout — 9.0x, 4.6 TF/s ~ 14% of the
         # f32-HIGHEST MXU peak; the op itself admits no MXU GEMM, so
         # this is its VPU/VMEM speed of light, not an MXU shortfall).
-        Kinv_pre = jax.jit(pack_lanes_operator)(Kinv_pre)
-        K_pre = jax.jit(pack_lanes_operator)(K_pre)
+        # commit the DEFAULT layout: the pallas custom call constrains
+        # its operand layouts, and an uncommitted pack layout makes XLA
+        # re-lay the 177 MB operators out per call — inside the
+        # multistep chain's while loop that was ~1 ms/tick of copies
+        Kinv_pre = _commit_default_layout(jax.jit(pack_lanes_operator)(
+            Kinv_pre))
+        K_pre = _commit_default_layout(jax.jit(pack_lanes_operator)(
+            K_pre))
         Kinv_pre, K_pre = jax.block_until_ready((Kinv_pre, K_pre))
     seed_map = make_seed_map(plan, center=seed_center, keep_f64=True)
 
