@@ -473,6 +473,64 @@ def config3():
            "iterations": iters,
            "converged_frac": float(np.mean(np.asarray(sol.status) == 0))})
 
+    # DIRECT-LQR line: a cost-only problem has no inequality structure —
+    # it is an equality-constrained LQ, EXACT in one Riccati sweep (the
+    # ct.solve unconstrained fast path).  The backward pass is
+    # x0-independent, so the per-tick work is the linear sweeps with
+    # precomputed gains — no first-order iteration at all.
+    import dataclasses as _dc
+
+    from copra_tpu.qp.riccati import from_mpc
+    from copra_tpu.ops.stagewise_kernel import (lqr_solve_fixed,
+                                                precompute_lqr_gains)
+
+    sqp0 = from_mpc(ct.LTVSystem(A=jnp.asarray(As[0], jnp.float32),
+                                 B=jnp.asarray(Bs[0], jnp.float32),
+                                 d=jnp.asarray(ds[0], jnp.float32),
+                                 x0=jnp.asarray(x0s[0], jnp.float32)),
+                    costs, ())
+    A_b = jnp.asarray(As, jnp.float32)
+    B_b = jnp.asarray(Bs, jnp.float32)
+    d_b = jnp.asarray(ds, jnp.float32)
+    bcast = lambda a: jnp.broadcast_to(a, (batch,) + a.shape)
+    Qx_b, qx_b = bcast(sqp0.Qx), bcast(sqp0.qx)
+    Ru_b, ru_b = bcast(sqp0.Ru), bcast(sqp0.ru)
+    gains = jax.jit(jax.vmap(precompute_lqr_gains))(A_b, B_b, d_b,
+                                                    Qx_b, Ru_b)
+    jax.block_until_ready(gains.K)
+
+    @jax.jit
+    def lqr_tick(g, A_, B_, d_, qx_, ru_, x0_t):
+        return jax.vmap(lqr_solve_fixed)(g, A_, B_, d_, qx_, ru_, x0_t)
+
+    Xl, Ul = lqr_tick(gains, A_b, B_b, d_b, qx_b, ru_b, x0_seq[0])
+    jax.block_until_ready(Ul)
+    t0 = time.perf_counter()
+    for t in range(steps):
+        Xl, Ul = lqr_tick(gains, A_b, B_b, d_b, qx_b, ru_b,
+                          x0_seq[1 + t])
+    jax.block_until_ready(Ul)
+    wall_sps = batch * steps / (time.perf_counter() - t0)
+    prof = _profile_device_per_tick(
+        jax, lambda: lqr_tick(gains, A_b, B_b, d_b, qx_b, ru_b,
+                              x0_seq[steps])[1])
+    err_l = _gate(plan, np.asarray(x0_seq[steps]),
+                  np.asarray(Ul).reshape(batch, -1),
+                  (0, 1, 17, batch - 1))
+    _emit({"config": 3,
+           "metric": f"LTV N=10 cost-only solves/s (B={batch}, "
+                     f"DIRECT LQR: exact one-sweep, precomputed gains)",
+           "value": (round(batch / (prof["measured_device_ms_per_tick"]
+                                    * 1e-3), 1)
+                     if prof else round(wall_sps, 1)),
+           "unit": "solves/s",
+           "rate_basis": ("device-time" if prof else "wall"),
+           "wall_solves_per_s": round(wall_sps, 1),
+           **({} if prof is None else prof),
+           "max_err_vs_exact": float(f"{err_l:.3g}"),
+           "iterations": 1,
+           "converged_frac": 1.0})
+
 
 def _bipedal_workload():
     """Shared config-5 data: LIPM triple integrator + footstep plan."""

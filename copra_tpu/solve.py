@@ -127,7 +127,8 @@ def solve(system: System,
             sqp = None
     nvar = system.horizon * system.udim
     use_stagewise = engine == "stagewise" or (
-        engine == "auto" and sqp is not None and nvar > _STAGEWISE_NVAR)
+        engine == "auto" and sqp is not None
+        and (nvar > _STAGEWISE_NVAR or _unconstrained(sqp)))
 
     dt = system.A.dtype if hasattr(system, "A") else jnp.float32
     eps = max(accuracy * 1e-4, _dtype_floor(dt))
@@ -176,10 +177,40 @@ def solve(system: System,
     return MPCResult(control=sol.x, trajectory=X, solution=sol)
 
 
+def _unconstrained(sqp) -> bool:
+    """No finite bounds and no general rows: the problem is an
+    equality-constrained LQ — ONE exact Riccati sweep, no iterations."""
+    if sqp.nr_rows:
+        return False
+    fin = (np.isfinite(np.asarray(sqp.xlb)).any()
+           or np.isfinite(np.asarray(sqp.xub)).any()
+           or np.isfinite(np.asarray(sqp.ulb)).any()
+           or np.isfinite(np.asarray(sqp.uub)).any())
+    return not fin
+
+
 def _solve_stagewise_auto(system, costs, constraints, sqp, accuracy,
                           eps):
-    from .qp.riccati import (scale_stagewise, solve_stagewise,
-                             stagewise_scales)
+    from .qp.riccati import (lqr_solve, scale_stagewise,
+                             solve_stagewise, stagewise_scales)
+    from .qp.types import STATUS_SOLVED as _SOLVED
+
+    if _unconstrained(sqp):
+        # direct LQR: exact (up to dtype) in one sweep — the reference's
+        # cost-only problems (BASELINE config-3 class) need no first-
+        # order iteration at all
+        X, U = lqr_solve(sqp.A, sqp.B, sqp.d, sqp.Qx, sqp.qx, sqp.Ru,
+                         sqp.ru, sqp.x0)
+        nvars = U.size
+        zeros = jnp.zeros((nvars,), U.dtype)
+        info = QPSolution(
+            x=U.reshape(-1), y=zeros, z=U.reshape(-1),
+            status=jnp.asarray(_SOLVED, jnp.int32),
+            iterations=jnp.asarray(1, jnp.int32),
+            primal_residual=jnp.zeros((), U.dtype),
+            dual_residual=jnp.zeros((), U.dtype))
+        return MPCResult(control=U.reshape(-1),
+                         trajectory=X.reshape(-1), solution=info)
 
     scale = None
     if _curvature_spread(sqp) > 1e4:

@@ -149,3 +149,21 @@ def test_stagewise_server_no_knobs_fleet():
         err = abs(float(np.asarray(U)[0, 0, 0])
                   - float(np.asarray(exact.x)[0])) / scale
         assert err <= 1e-4, f"server applied control vs oracle: {err:.2e}"
+
+
+def test_solve_unconstrained_is_direct_lqr():
+    """Cost-only problems route to the exact one-sweep LQ solve (no
+    iterations) and match the oracle to solver precision."""
+    system, costs, _ = _small_system()
+    res = ct.solve(system, costs, ())
+    assert int(np.asarray(res.solution.status)) == ct.STATUS_SOLVED
+    assert int(np.asarray(res.solution.iterations)) == 1
+    if native_available():
+        prev = ct.condense(system)
+        qp = ct.build_qp(prev, system.x0, costs, ())
+        exact = solve_qp_native(jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64), qp))
+        scale = max(1.0, np.abs(np.asarray(exact.x)).max())
+        err = np.abs(np.asarray(res.control).ravel()
+                     - np.asarray(exact.x)).max() / scale
+        assert err <= 1e-6, f"direct LQR vs oracle: {err:.2e}"
