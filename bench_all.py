@@ -517,9 +517,12 @@ def config3():
     err_l = _gate(plan, np.asarray(x0_seq[steps]),
                   np.asarray(Ul).reshape(batch, -1),
                   (0, 1, 17, batch - 1))
+    u_sc = max(1.0, float(np.abs(np.asarray(Ul)).max()))
     _emit({"config": 3,
            "metric": f"LTV N=10 cost-only solves/s (B={batch}, "
-                     f"DIRECT LQR: exact one-sweep, precomputed gains)",
+                     f"DIRECT LQR one-sweep, f32 sweeps with "
+                     f"precomputed gains — structurally exact, "
+                     f"f32-rounding accuracy class)",
            "value": (round(batch / (prof["measured_device_ms_per_tick"]
                                     * 1e-3), 1)
                      if prof else round(wall_sps, 1)),
@@ -528,6 +531,7 @@ def config3():
            "wall_solves_per_s": round(wall_sps, 1),
            **({} if prof is None else prof),
            "max_err_vs_exact": float(f"{err_l:.3g}"),
+           "max_err_rel": float(f"{err_l / u_sc:.3g}"),
            "iterations": 1,
            "converged_frac": 1.0})
 
