@@ -1813,56 +1813,66 @@ def make_stagewise_multistep(sqp: StagewiseQP,
                                     scaling="none" if scale is None
                                     else scale)
 
+    custom_plant = plant
     if plant is None:
-        A0, B0, d0 = sqp_b.A[:, 0], sqp_b.B[:, 0], sqp_b.d[:, 0]
-
-        def plant(xk, U):
+        # default plant reads the CURRENT dynamics (threaded as jit
+        # arguments) so replan() swaps it along with the problem data
+        def plant(xk, U, pargs):
+            A0, B0, d0 = pargs
             return (jnp.einsum("bxy,by->bx", A0, xk)
                     + jnp.einsum("bxu,bu->bx", B0, U[:, 0]) + d0)
+    else:
+        def plant(xk, U, pargs):              # noqa: ARG001
+            return custom_plant(xk, U)
 
     if backend == "fused":
         from ..ops.stagewise_kernel import (build_fused_plan,
                                             solve_stagewise_fused)
-        plan_w = build_fused_plan(sqp_s, options)
 
-        def solve1(s, w):
+        def build_plan(s):
+            return build_fused_plan(s, options)
+
+        def solve1(plan, s, w):
             return solve_stagewise_fused(
                 s, options, warm_start=w, return_warm=True,
-                plan=dataclasses.replace(plan_w, sqp=s))
+                plan=dataclasses.replace(plan, sqp=s))
     else:
-        plan_w = None
         wopts = options.replace(early_exit=False)
 
-        def solve1(s, w):
+        def build_plan(s):
+            return None
+
+        def solve1(plan, s, w):
+            del plan
             out = jax.vmap(lambda sk, wk: solve_stagewise(
                 sk, wopts, warm_start=wk, parallel_scan=parallel_scan,
                 return_warm=True))(s, w)
             return _xla_topup(s, wopts, out, parallel_scan)
 
-    def solve1_units(xk, w):
+    def solve1_units(plan, s_s, xk, w):
         """Solve at the ORIGINAL-units state xk, return original-units
         (X, U, info, warm) — warm stays in the solver's (scaled) space."""
         if scale is None:
-            return solve1(dataclasses.replace(sqp_s, x0=xk), w)
+            return solve1(plan, dataclasses.replace(s_s, x0=xk), w)
         Dx_s, Du_s = scale
-        s = dataclasses.replace(sqp_s, x0=xk / Dx_s)
-        X, U, info, w2 = solve1(s, w)
+        s = dataclasses.replace(s_s, x0=xk / Dx_s)
+        X, U, info, w2 = solve1(plan, s, w)
         X = X * Dx_s
         U = U * Du_s
         info = dataclasses.replace(info, x=U.reshape(U.shape[0], -1))
         return X, U, info, w2
 
     @functools.partial(jax.jit, static_argnames=("n_ticks", "exogenous"))
-    def run_chain(plan, s_b, x0, warm, xs, n_ticks, exogenous):
-        del plan, s_b  # flow as jit ARGUMENTS only to keep them out of
-        # the program constants (remote-compile transport size limit);
-        # solve1 closes over plan_w but replaces its sqp per tick
+    def run_chain(plan, s_s, pargs, x0, warm, xs, n_ticks, exogenous):
+        # plan/problem/plant data flow as jit ARGUMENTS (remote-compile
+        # transport size limit; and so replan() swaps data without a
+        # re-trace — the compiled chain is shape-keyed, not data-keyed)
 
         def body(carry, xk_in):
             x_prev, w, _ = carry
             xk = xk_in if exogenous else x_prev
-            X, U, info, w2 = solve1_units(xk, w)
-            xn = plant(xk, U)
+            X, U, info, w2 = solve1_units(plan, s_s, xk, w)
+            xn = plant(xk, U, pargs)
             # last tick's full solution rides the CARRY (stacking the
             # [B, N, ...] trees over n_ticks would multiply the tick
             # working set by the chain length)
@@ -1870,48 +1880,84 @@ def make_stagewise_multistep(sqp: StagewiseQP,
 
         last0 = jax.tree_util.tree_map(
             lambda sd: jnp.zeros(sd.shape, sd.dtype),
-            jax.eval_shape(lambda xk, w: solve1_units(xk, w)[:3],
+            jax.eval_shape(lambda xk, w: solve1_units(plan, s_s, xk,
+                                                      w)[:3],
                            x0, warm))
         (xT, wT, last), (xs_out, u0s, statuses) = lax.scan(
             body, (x0, warm, last0), xs,
             length=None if exogenous else n_ticks)
         return xs_out, u0s, statuses, last, wT
 
-    def step_many(x0, n_ticks: int, warm=None, x0_seq=None):
-        if x0_seq is not None and x0_seq.shape[0] != int(n_ticks):
-            raise ValueError(
-                f"x0_seq has {x0_seq.shape[0]} ticks but n_ticks="
-                f"{int(n_ticks)}; the exogenous stream defines the chain "
-                f"length — pass matching values.")
-        if not batched:
-            x0 = x0[None]
-            if x0_seq is not None:
-                x0_seq = x0_seq[:, None]
-        exogenous = x0_seq is not None
-        states0 = x0_seq[0] if exogenous else x0
-        cold = None
-        if warm is None:
-            # leading cold tick (its own dispatch — the one-time setup);
-            # cold_tick is built over the BATCHED sqp_b, so states0
-            # (already [B, x]) goes in as-is
-            Xc, Uc, infoc, warm = cold_tick(states0)
-            if not exogenous:
-                x0 = plant(x0, Uc)
-                cold = (Uc[:, 0], infoc.status)
-        xs_out, u0s, statuses, (X, U, info), warm = run_chain(
-            plan_w, sqp_b, x0, warm, x0_seq,
-            n_ticks=int(n_ticks), exogenous=exogenous)
-        if cold is not None:
-            # the cold tick's control WAS applied to the plant — return
-            # it so (states, u0s) pairs form a consistent rollout
-            # (ADVICE r3); x0 here is already the post-cold-tick state
-            u0s = jnp.concatenate([cold[0][None], u0s], axis=0)
-            statuses = jnp.concatenate([cold[1][None], statuses], axis=0)
-            xs_out = jnp.concatenate([x0[None], xs_out], axis=0)
-        states = jnp.concatenate([states0[None], xs_out], axis=0)
-        if not batched:
-            states, u0s, statuses = states[:, 0], u0s[:, 0], statuses[:, 0]
-            X, U, info = jax.tree_util.tree_map(lambda a: a[0], (X, U, info))
-        return states, u0s, statuses, info, warm
+    class StagewiseMultistep:
+        """Callable chain facade; ``replan(sqp_new)`` swaps same-shape
+        problem data behind the compiled chain (and the leading cold
+        tick's facade), like :meth:`StagewiseTick.replan`."""
 
-    return step_many
+        def __init__(self, sqp_b0, sqp_s0):
+            self._shapes = jax.tree_util.tree_map(
+                lambda a: (a.shape, a.dtype), sqp_b0)
+            self._set(sqp_b0, sqp_s0)
+
+        def _set(self, sqp_b0, sqp_s0):
+            self._sqp_b = sqp_b0
+            self._sqp_s = sqp_s0
+            self._plan = build_plan(sqp_s0)
+            self._pargs = (sqp_b0.A[:, 0], sqp_b0.B[:, 0],
+                           sqp_b0.d[:, 0])
+
+        def replan(self, sqp_new: StagewiseQP) -> None:
+            if not batched and sqp_new.A.ndim == 3:
+                sqp_new = jax.tree_util.tree_map(lambda a: a[None],
+                                                 sqp_new)
+            shapes = jax.tree_util.tree_map(
+                lambda a: (a.shape, a.dtype), sqp_new)
+            if shapes != self._shapes:
+                raise DimensionError(
+                    "StagewiseMultistep.replan: the new problem's "
+                    "shapes/dtypes differ — build a new facade.")
+            sqp_new_s = (sqp_new if scale is None
+                         else scale_stagewise(sqp_new, *scale))
+            self._set(sqp_new, sqp_new_s)
+            cold_tick.replan(sqp_new)
+
+        def __call__(self, x0, n_ticks: int, warm=None, x0_seq=None):
+            if x0_seq is not None and x0_seq.shape[0] != int(n_ticks):
+                raise ValueError(
+                    f"x0_seq has {x0_seq.shape[0]} ticks but n_ticks="
+                    f"{int(n_ticks)}; the exogenous stream defines the "
+                    f"chain length — pass matching values.")
+            if not batched:
+                x0 = x0[None]
+                if x0_seq is not None:
+                    x0_seq = x0_seq[:, None]
+            exogenous = x0_seq is not None
+            states0 = x0_seq[0] if exogenous else x0
+            cold = None
+            if warm is None:
+                # leading cold tick (its own dispatch — the one-time
+                # setup); cold_tick is built over the BATCHED sqp_b, so
+                # states0 (already [B, x]) goes in as-is
+                Xc, Uc, infoc, warm = cold_tick(states0)
+                if not exogenous:
+                    x0 = plant(x0, Uc, self._pargs)
+                    cold = (Uc[:, 0], infoc.status)
+            xs_out, u0s, statuses, (X, U, info), warm = run_chain(
+                self._plan, self._sqp_s, self._pargs, x0, warm, x0_seq,
+                n_ticks=int(n_ticks), exogenous=exogenous)
+            if cold is not None:
+                # the cold tick's control WAS applied to the plant —
+                # return it so (states, u0s) pairs form a consistent
+                # rollout (ADVICE r3); x0 is the post-cold-tick state
+                u0s = jnp.concatenate([cold[0][None], u0s], axis=0)
+                statuses = jnp.concatenate([cold[1][None], statuses],
+                                           axis=0)
+                xs_out = jnp.concatenate([x0[None], xs_out], axis=0)
+            states = jnp.concatenate([states0[None], xs_out], axis=0)
+            if not batched:
+                states, u0s, statuses = (states[:, 0], u0s[:, 0],
+                                         statuses[:, 0])
+                X, U, info = jax.tree_util.tree_map(
+                    lambda a: a[0], (X, U, info))
+            return states, u0s, statuses, info, warm
+
+    return StagewiseMultistep(sqp_b, sqp_s)

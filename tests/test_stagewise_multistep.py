@@ -155,3 +155,38 @@ def test_multistep_fused_plus_parallel_scan_is_an_error():
     with pytest.raises(ValueError, match="contradictory"):
         make_stagewise_multistep(sqp_b, ct.SolverOptions(max_iter=5),
                                  backend="fused", parallel_scan=True)
+
+
+def test_multistep_replan_swaps_model():
+    """StagewiseMultistep.replan: same-shape data swap behind the
+    compiled chain — post-swap chain ticks solve the NEW model and the
+    leading facade's swap path converges."""
+    import dataclasses
+
+    sqp_b, x0s = fleet()
+    opts = ct.SolverOptions(max_iter=40, early_exit=False, rho=1.0)
+    step_many = ct.make_stagewise_multistep(
+        sqp_b, opts, cold_options=opts.replace(max_iter=2000),
+        backend="xla")
+    B = sqp_b.A.shape[0]
+    x0 = jnp.zeros((B, sqp_b.xdim), sqp_b.A.dtype)
+    states, u0s, statuses, info, warm = step_many(x0, 2)
+    assert (np.asarray(statuses) == ct.STATUS_SOLVED).all()
+
+    # swap: shift the state reference costs (same shapes)
+    sqp2 = dataclasses.replace(
+        sqp_b, qx=sqp_b.qx + jnp.asarray(0.5, sqp_b.qx.dtype))
+    step_many.replan(sqp2)
+    states2, u0s2, statuses2, info2, warm = step_many(
+        states[-1], 2, warm=warm)
+    assert (np.asarray(statuses2) == ct.STATUS_SOLVED).all()
+    # the model genuinely changed: controls moved
+    assert np.abs(np.asarray(u0s2[-1]) - np.asarray(u0s[-1])).max() \
+        > 1e-4
+
+    # shape mismatch is a NEW facade, not a replan
+    from copra_tpu.errors import DimensionError
+    bad = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a, a], axis=0), sqp_b)
+    with pytest.raises(DimensionError):
+        step_many.replan(bad)
