@@ -478,8 +478,6 @@ def config3():
     # ct.solve unconstrained fast path).  The backward pass is
     # x0-independent, so the per-tick work is the linear sweeps with
     # precomputed gains — no first-order iteration at all.
-    import dataclasses as _dc
-
     from copra_tpu.qp.riccati import from_mpc
     from copra_tpu.ops.stagewise_kernel import (lqr_solve_fixed,
                                                 precompute_lqr_gains)

@@ -1051,7 +1051,7 @@ def solve_qp_batched_fused(qp, options=None, warm_start=None,
     """
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    from ..qp.admm import _polish, stack_constraints
+    from ..qp.admm import _polish
     from ..qp.types import (STATUS_MAX_ITER, STATUS_SOLVED, QPSolution,
                             SolverOptions)
 
