@@ -133,6 +133,22 @@ def solve(system: System,
     dt = system.A.dtype if hasattr(system, "A") else jnp.float32
     eps = max(accuracy * 1e-4, _dtype_floor(dt))
 
+    if engine == "auto" and _dtype_floor(dt) > accuracy * 0.1:
+        # the compute dtype CANNOT certify the requested accuracy (f32
+        # floor ~6e-6 vs a 1e-5 contract: the iterative engines deliver
+        # ~2e-5-class solutions with an honestly-converged status in
+        # the f32 norm — measured on fresh fuzz draws).  The no-knobs
+        # answer is the reference's own: the exact f64 active-set
+        # engine on the (dtype-faithful) assembled QP.  Batched or
+        # native-less environments fall through to the iterative path,
+        # whose status remains honest in ITS dtype class.
+        preview = condense(system)
+        qp = build_qp(preview, system.x0, costs, constraints)
+        if qp.Q.ndim == 2:
+            res = _native_solve(system, preview, qp)
+            if res is not None:
+                return res
+
     if use_stagewise:
         return _solve_stagewise_auto(system, costs, constraints, sqp,
                                      accuracy, eps)
